@@ -1,0 +1,171 @@
+"""Dataclass configuration for models, training, and the device mesh.
+
+Replaces the reference's three loose ctor dicts
+(``sequential_input_config`` / ``feature_vocabs`` / ``embedding_dims``,
+clickstream_transformer.py:160-227) and its spec-dict argparse generator
+(source/utils.py:7-53) with typed configs that serialize to JSON so they can
+travel with checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+from bert4clickpath_tpu.constants import MAX_MASKED_ITEMS
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """One embedded sequential feature (e.g. items, actions).
+
+    vocab_rows counts *model-space* rows: reserved + raw vocab + OOV bucket
+    (see :class:`bert4clickpath_tpu.vocab.Vocabulary.model_vocab_size`).
+    """
+
+    vocab_rows: int
+    embedding_dim: int
+
+
+@dataclass(frozen=True)
+class HeadConfig:
+    """A pluggable task head mounted on gathered encoder outputs.
+
+    kind:
+      * ``softmax`` — MLP -> V logits; the reference "parity head"
+        (head.py:29-47 + source/main.py:262, dims [1024,512,256,128]).
+      * ``tied_softmax`` — logits = x @ E_items^T over the raw-vocab rows of
+        the item embedding table; the TPU-native default (ties weights, rides
+        the MXU, enables vocab-sharded loss).
+      * ``binary`` — MLP -> scalar logit per position (head.py:4-26).
+      * ``multilabel`` — MLP -> C independent logits (head.py:50-69).
+
+    All heads emit **logits**; activations fold into losses/metrics. The
+    reference emitted probabilities (head.py:21,45,65) which is numerically
+    inferior — intentionally not replicated.
+    """
+
+    kind: str = "softmax"
+    dense_dims: tuple[int, ...] = ()
+    output_size: int = 0  # V for softmax/multilabel; ignored for binary/tied
+
+    def __post_init__(self):
+        if self.kind not in ("softmax", "tied_softmax", "binary", "multilabel"):
+            raise ValueError(f"unknown head kind {self.kind!r}")
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Encoder + head + routing.
+
+    Routing (reference clickstream_transformer.py:317-341): exactly one of
+
+    * ``routing='mask'`` — gather encoder outputs at fixed-width
+      ``(B, max_masked)`` positions supplied by the pipeline. Replaces the
+      reference's ragged ``[MASK]``-position gather
+      (clickstream_transformer.py:260-297) with static shapes.
+    * ``routing='segment'`` — slice a static ``[start, end)`` token range of
+      the chained sequence (e.g. the CLS summary, or a basket segment). With
+      fixed per-segment lengths the offsets are static, deleting the
+      reference's runtime SEP-scan (clickstream_transformer.py:81-94).
+    """
+
+    features: dict[str, FeatureConfig] = field(default_factory=dict)
+    num_layers: int = 2
+    num_heads: int = 2
+    ffn_dim: int = 100  # reference hard-codes 100 (clickstream_transformer.py:225)
+    dropout_rate: float = 0.1
+    max_len: int = 53  # tokens incl. [CLS][SEP]...[SEP]
+    positional: str = "sinusoidal"  # or "learned" (BERT4Rec-style)
+    head: HeadConfig = field(default_factory=HeadConfig)
+    routing: str = "mask"
+    segment_bounds: Optional[tuple[int, int]] = None  # for routing='segment'
+    max_masked: int = MAX_MASKED_ITEMS  # P, width of the head gather
+    dtype: str = "float32"  # computation dtype: "bfloat16" on TPU
+    # name of the feature whose embedding the tied head shares
+    item_feature: str = "items"
+
+    def __post_init__(self):
+        if self.routing not in ("mask", "segment"):
+            raise ValueError(f"unknown routing {self.routing!r}")
+        if self.routing == "segment" and self.segment_bounds is None:
+            raise ValueError("routing='segment' requires segment_bounds")
+        if self.positional not in ("sinusoidal", "learned"):
+            raise ValueError(f"unknown positional {self.positional!r}")
+
+    @property
+    def d_model(self) -> int:
+        """Sum of per-feature embedding dims (reference transformer.py:336)."""
+        return sum(f.embedding_dim for f in self.features.values())
+
+    @property
+    def head_width(self) -> int:
+        """P — number of positions fed to the head."""
+        if self.routing == "mask":
+            return self.max_masked
+        start, end = self.segment_bounds
+        return end - start
+
+    # -- serialization ----------------------------------------------------
+    def to_json(self) -> str:
+        def enc(o):
+            if dataclasses.is_dataclass(o):
+                return {k: enc(v) for k, v in dataclasses.asdict(o).items()}
+            return o
+
+        d = dataclasses.asdict(self)
+        return json.dumps(d, indent=2)
+
+    @classmethod
+    def from_json(cls, payload: str) -> "ModelConfig":
+        d = json.loads(payload)
+        d["features"] = {k: FeatureConfig(**v) for k, v in d["features"].items()}
+        d["head"] = HeadConfig(
+            kind=d["head"]["kind"],
+            dense_dims=tuple(d["head"]["dense_dims"]),
+            output_size=d["head"]["output_size"],
+        )
+        if d.get("segment_bounds") is not None:
+            d["segment_bounds"] = tuple(d["segment_bounds"])
+        return cls(**d)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization + loop parameters (reference source/main.py:186-211)."""
+
+    batch_size: int = 100  # global batch
+    eval_batch_size: int = 0  # 0 -> use batch_size
+    learning_rate: float = 1e-3
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-9
+    lr_schedule: str = "constant"  # constant | rsqrt_warmup | exp_decay
+    warmup_steps: int = 4000
+    n_epochs: int = 10000
+    steps_per_epoch: int = 100
+    validation_steps: int = 0  # 0 -> full eval pass
+    early_stopping_patience: int = 30  # epochs (reference main.py:156)
+    plateau_patience: int = 10  # epochs (reference main.py:134)
+    plateau_factor: float = 0.317
+    seed: int = 0
+    log_every: int = 50  # steps
+    remat: bool = False  # jax.checkpoint the encoder layers
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Logical device mesh: data-parallel x model(vocab-shard) axes.
+
+    Replaces the reference's MirroredStrategy (source/main.py:46-57) with an
+    explicit ``jax.sharding.Mesh``; collectives ride ICI via psum/all_gather.
+    """
+
+    data: int = 1
+    model: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.model

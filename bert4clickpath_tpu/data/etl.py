@@ -1,0 +1,109 @@
+"""Offline ETL: pandas -> grouped sequences -> packed ragged arrays.
+
+TPU-native replacement for the reference's pandas -> tf.train.Example ->
+TFRecord pipeline (clickstream_transformer/data_utils.py): instead of
+serializing protos, sequences are packed into a values+offsets ragged layout
+and stored as ``.npz`` — mmap-friendly, shardable, no TF dependency.
+
+Covered reference surface:
+* ``pandas_to_tf_example_list`` (data_utils.py:53-124) -> :func:`group_sequences`
+* ``pandas_train_test_split`` (data_utils.py:399-409) -> :func:`train_test_split`
+* ``write_to_tfrecord`` sharded writer (data_utils.py:412-481) ->
+  :func:`write_packed` / :func:`read_packed` (sharded ``name_i_of_n.npz``)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def group_sequences(
+    df,
+    group_id_column: str,
+    feature_columns: Optional[Sequence[str]] = None,
+    max_seq_len: Optional[int] = None,
+):
+    """Group a long-format DataFrame into per-group ordered lists.
+
+    Equivalent to the reference's groupby + collect_list
+    (data_utils.py:119-124): row order within each group is preserved; each
+    feature column becomes one list per group.
+
+    Returns (group_ids: list[str], {feature: list[np.ndarray of str]}).
+    """
+    if feature_columns is None:
+        feature_columns = [c for c in df.columns if c != group_id_column]
+    group_ids: list[str] = []
+    out: dict[str, list[np.ndarray]] = {c: [] for c in feature_columns}
+    for gid, grp in df.groupby(group_id_column, sort=False):
+        if max_seq_len is not None:
+            grp = grp.head(max_seq_len)
+        group_ids.append(str(gid))
+        for c in feature_columns:
+            out[c].append(np.asarray(grp[c].tolist()))
+    return group_ids, out
+
+
+def train_test_split(df, group_id_column: str, train_fraction: float, seed: int = 0):
+    """Per-group random train/test marking (reference data_utils.py:399-409):
+    every *group* (user) is assigned wholly to train or test."""
+    rng = np.random.default_rng(seed)
+    gids = df[group_id_column].unique()
+    train_gids = set(gids[rng.random(len(gids)) < train_fraction])
+    is_train = df[group_id_column].isin(train_gids)
+    return df[is_train], df[~is_train]
+
+
+def pack_ragged(sequences: Sequence[np.ndarray]) -> dict[str, np.ndarray]:
+    """list of 1-D arrays -> {'values', 'offsets'} flat layout."""
+    lengths = np.array([len(s) for s in sequences], dtype=np.int64)
+    offsets = np.zeros(len(sequences) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    values = (
+        np.concatenate([np.asarray(s) for s in sequences])
+        if sequences
+        else np.array([], dtype=np.int32)
+    )
+    return {"values": values, "offsets": offsets}
+
+
+def unpack_ragged(packed: dict) -> list[np.ndarray]:
+    values, offsets = packed["values"], packed["offsets"]
+    return [values[offsets[i] : offsets[i + 1]] for i in range(len(offsets) - 1)]
+
+
+def write_packed(
+    sequences: Sequence[np.ndarray],
+    path: str,
+    filename_prefix: str,
+    records_per_shard: int = 10_000,
+) -> list[str]:
+    """Sharded ``<prefix>_i_of_n.npz`` writer (naming per data_utils.py:474-478)."""
+    os.makedirs(path, exist_ok=True)
+    n_shards = max(1, (len(sequences) + records_per_shard - 1) // records_per_shard)
+    files = []
+    for i in range(n_shards):
+        shard = sequences[i * records_per_shard : (i + 1) * records_per_shard]
+        fname = os.path.join(path, f"{filename_prefix}_{i + 1}_of_{n_shards}.npz")
+        np.savez_compressed(fname, **pack_ragged(shard))
+        files.append(fname)
+    return files
+
+
+def read_packed(path_glob: str) -> list[np.ndarray]:
+    """Read all shards matching a glob, in shard order."""
+
+    def shard_key(p):
+        m = re.search(r"_(\d+)_of_(\d+)\.npz$", p)
+        return int(m.group(1)) if m else 0
+
+    out: list[np.ndarray] = []
+    for fname in sorted(glob.glob(path_glob), key=shard_key):
+        with np.load(fname, allow_pickle=False) as z:
+            out.extend(unpack_ragged({"values": z["values"], "offsets": z["offsets"]}))
+    return out

@@ -1,0 +1,97 @@
+"""Batching pipeline: shuffled infinite train stream + one-pass eval.
+
+Replaces the reference's tf.data graph (create_cloze_dataset,
+input_pipeline.py:136-231: shuffle(20000) -> repeat -> map(mask) ->
+padded_batch -> prefetch) with a seedable host-side iterator producing
+fixed-shape numpy batches.
+
+Multi-host: each process takes a strided slice of the sequence list
+(``sequences[process_index::process_count]``) and builds its *per-host*
+share of the global batch; global loss/metric normalization is exact because
+losses psum sums and counts (ops/losses.py), so no per-replica batch
+gymnastics are needed (contrast source/utils.py:76-90).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from bert4clickpath_tpu.data.cloze import (
+    ClozeBatch,
+    make_eval_batch,
+    make_train_batch,
+    pad_batch,
+)
+from bert4clickpath_tpu.vocab import Vocabulary
+
+
+class ClozeDataset:
+    """Holds per-user label-space id sequences + the item vocabulary."""
+
+    def __init__(
+        self,
+        sequences: Sequence[np.ndarray],
+        vocab: Vocabulary,
+        max_items: int = 50,
+        max_masked: int = 10,
+        feature_name: str = "items",
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        if process_count > 1:
+            sequences = list(sequences[process_index::process_count])
+        else:
+            sequences = list(sequences)
+        self.sequences = sequences
+        self.vocab = vocab
+        self.max_items = max_items
+        self.max_masked = max_masked
+        self.feature_name = feature_name
+
+    def __len__(self) -> int:
+        return len(self.sequences)
+
+    def train_batches(
+        self, per_host_batch: int, seed: int = 0
+    ) -> Iterator[ClozeBatch]:
+        """Infinite epoch-shuffled stream of training batches.
+
+        Deterministic in (seed, host): masking and order reproduce run to run
+        — the multi-host reproducibility requirement of SURVEY.md §7.
+        """
+        rng = np.random.default_rng(seed)
+        n = len(self.sequences)
+        if per_host_batch > n:
+            raise ValueError(
+                f"per-host batch {per_host_batch} exceeds dataset size {n}; "
+                "the stream would yield nothing"
+            )
+        while True:
+            order = rng.permutation(n)
+            for start in range(0, n - per_host_batch + 1, per_host_batch):
+                idx = order[start : start + per_host_batch]
+                yield make_train_batch(
+                    [self.sequences[i] for i in idx],
+                    rng,
+                    self.max_items,
+                    self.max_masked,
+                    feature_name=self.feature_name,
+                )
+
+    def eval_batches(
+        self, per_host_batch: int, limit_batches: Optional[int] = None
+    ) -> Iterator[ClozeBatch]:
+        """One deterministic pass; final short batch padded to static shape."""
+        n = len(self.sequences)
+        count = 0
+        for start in range(0, n, per_host_batch):
+            if limit_batches is not None and count >= limit_batches:
+                return
+            chunk = self.sequences[start : start + per_host_batch]
+            batch = make_eval_batch(
+                chunk, self.max_items, self.max_masked, feature_name=self.feature_name
+            )
+            yield pad_batch(batch, per_host_batch)
+            count += 1

@@ -1,0 +1,124 @@
+"""Bidirectional (encoder-only) Transformer stack.
+
+Same semantics as the reference encoder (transformer.py:100-268): post-LN
+residual blocks, ReLU feed-forward, padding-masked bidirectional attention,
+LayerNorm eps 1e-6, dropout on attention output / ffn output / encoder input.
+
+TPU-native design choices:
+
+* Attention is one fused ``einsum`` path under jit (single (B,H,L,L) score
+  tensor, bf16 matmuls on the MXU with f32 softmax), with an optional Pallas
+  flash-attention kernel behind the same signature
+  (:mod:`bert4clickpath_tpu.ops.pallas.attention`), selected by
+  ``attn_impl``.
+* ``remat`` wraps each layer in ``jax.checkpoint`` to trade FLOPs for HBM on
+  deep configs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def scaled_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """(B, H, L, Dh) q/k/v + (B, 1, 1, L) additive bias -> (B, H, L, Dh).
+
+    Softmax accumulates in f32 regardless of compute dtype (reference
+    transformer.py:64-97 was pure f32).
+    """
+    depth = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.float32(depth))
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+class MultiHeadAttention(nn.Module):
+    d_model: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"  # "xla" | "pallas"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, bias: Optional[jnp.ndarray]) -> jnp.ndarray:
+        assert self.d_model % self.num_heads == 0
+        depth = self.d_model // self.num_heads
+        dense = lambda name: nn.Dense(  # noqa: E731
+            self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        b, l, _ = x.shape
+        split = lambda t: t.reshape(b, l, self.num_heads, depth).transpose(  # noqa: E731
+            0, 2, 1, 3
+        )
+        q, k, v = split(dense("wq")(x)), split(dense("wk")(x)), split(dense("wv")(x))
+        if self.attn_impl == "pallas":
+            from bert4clickpath_tpu.ops.pallas.attention import flash_attention
+
+            attn = flash_attention(q, k, v, bias)
+        else:
+            attn = scaled_dot_product_attention(q, k, v, bias)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, l, self.d_model)
+        return dense("wo")(attn)
+
+
+class EncoderLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    ffn_dim: int
+    dropout_rate: float
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, bias, deterministic: bool) -> jnp.ndarray:
+        attn = MultiHeadAttention(
+            self.d_model, self.num_heads, self.dtype, self.attn_impl, name="mha"
+        )(x, bias)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        # Post-LN residual, eps 1e-6 (reference transformer.py:183-184,202-213)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln1")(x + attn)
+        ffn = nn.Dense(self.ffn_dim, dtype=self.dtype, param_dtype=jnp.float32, name="ffn1")(x)
+        ffn = nn.relu(ffn)
+        ffn = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name="ffn2")(ffn)
+        ffn = nn.Dropout(self.dropout_rate)(ffn, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln2")(x + ffn)
+
+
+class Encoder(nn.Module):
+    num_layers: int
+    d_model: int
+    num_heads: int
+    ffn_dim: int
+    dropout_rate: float
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, bias, deterministic: bool) -> jnp.ndarray:
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        layer_cls = EncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+        for i in range(self.num_layers):
+            x = layer_cls(
+                self.d_model,
+                self.num_heads,
+                self.ffn_dim,
+                self.dropout_rate,
+                self.dtype,
+                self.attn_impl,
+                name=f"layer_{i}",
+            )(x, bias, deterministic)
+        return x

@@ -1,0 +1,163 @@
+"""ClickstreamModel — the user-facing model facade.
+
+TPU-native replacement for the reference ``ClickstreamTransformer``
+(clickstream_transformer.py:106-382). Differences by design (SURVEY.md §7):
+
+* Inputs are **integer ids** with static shapes. String->id lookup happens in
+  the host pipeline (:mod:`bert4clickpath_tpu.vocab`); the [CLS]/[SEP]
+  chaining happens in :mod:`bert4clickpath_tpu.data.chaining` at static
+  offsets. Nothing ragged reaches the device.
+* ``value_to_head`` routing is a fixed-width ``(B, P)`` gather of positions
+  computed by the pipeline, replacing the ragged [MASK]-gather
+  (clickstream_transformer.py:260-297) and with it the whole
+  per-replica-pad adaptor (source/utils.py:56-113).
+* ``segment_to_head`` routing is a static slice (``segment_bounds``): with
+  fixed per-segment lengths the SEP positions are compile-time constants, so
+  the reference's runtime SEP-scan (clickstream_transformer.py:81-94) is
+  gone.
+* The TPU-native default head ties the output projection to the item
+  embedding table (``tied_softmax``), which the reference never does; the
+  reference's MLP softmax head remains available as the parity head.
+
+Multi-variable events are supported exactly as in the reference: each
+feature ((action, item) pairs etc.) is embedded separately and the embeddings
+are concatenated on the last axis, d_model = sum of dims
+(transformer.py:346-390).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from bert4clickpath_tpu.config import ModelConfig
+from bert4clickpath_tpu.constants import NUM_RESERVED_TOKENS
+from bert4clickpath_tpu.models.encoder import Encoder
+from bert4clickpath_tpu.models.heads import BinaryHead, MultiLabelHead, SoftmaxHead
+from bert4clickpath_tpu.models.positional import LearnedPositions, sinusoidal_positions
+from bert4clickpath_tpu.ops.masking import padding_bias
+
+
+class ClickstreamModel(nn.Module):
+    config: ModelConfig
+    attn_impl: str = "xla"  # "xla" | "pallas"
+    remat: bool = False
+
+    @property
+    def _dtype(self):
+        return jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.embeds = {
+            name: nn.Embed(
+                fc.vocab_rows,
+                fc.embedding_dim,
+                param_dtype=jnp.float32,
+                name=f"embed_{name}",
+            )
+            for name, fc in cfg.features.items()
+        }
+        if cfg.positional == "learned":
+            self.positions = LearnedPositions(cfg.max_len, cfg.d_model, name="positions")
+        self.encoder = Encoder(
+            num_layers=cfg.num_layers,
+            d_model=cfg.d_model,
+            num_heads=cfg.num_heads,
+            ffn_dim=cfg.ffn_dim,
+            dropout_rate=cfg.dropout_rate,
+            dtype=self._dtype,
+            attn_impl=self.attn_impl,
+            remat=self.remat,
+            name="encoder",
+        )
+        head = cfg.head
+        if head.kind == "softmax":
+            self.head = SoftmaxHead(
+                tuple(head.dense_dims), head.output_size, self._dtype, name="head"
+            )
+        elif head.kind == "binary":
+            self.head = BinaryHead(tuple(head.dense_dims), self._dtype, name="head")
+        elif head.kind == "multilabel":
+            self.head = MultiLabelHead(
+                tuple(head.dense_dims), head.output_size, self._dtype, name="head"
+            )
+        # tied_softmax has no parameters of its own — see __call__.
+
+    def encode(
+        self, features: dict[str, jnp.ndarray], deterministic: bool = True
+    ) -> jnp.ndarray:
+        """dict of (B, L) int32 -> (B, L, d_model) contextual embeddings."""
+        cfg = self.config
+        names = list(cfg.features.keys())
+        first = features[names[0]]
+        bias = padding_bias(first, jnp.float32)
+        # Per-feature embed, concat on the embedding axis (multi-variable
+        # events; reference transformer.py:384-388).
+        embedded = jnp.concatenate(
+            [self.embeds[n](features[n]).astype(self._dtype) for n in names], axis=-1
+        )
+        embedded = embedded * jnp.sqrt(jnp.asarray(cfg.d_model, self._dtype))
+        seq_len = first.shape[1]
+        if cfg.positional == "learned":
+            pos = self.positions(seq_len)
+        else:
+            pos = jnp.asarray(sinusoidal_positions(cfg.max_len, cfg.d_model))[:seq_len]
+        embedded = embedded + pos.astype(self._dtype)[None]
+        return self.encoder(embedded, bias, deterministic)
+
+    def __call__(
+        self,
+        features: dict[str, jnp.ndarray],
+        head_positions: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Forward to head logits.
+
+        features: {name: (B, L) int32 model-space ids}
+        head_positions: (B, P) int32 token indices for routing='mask'
+            (positions of [MASK] tokens, 0-padded; pad rows are ignored
+            downstream because their labels are LABEL_PAD).
+        Returns (B, P, V) logits for softmax heads, (B, P) for binary.
+        """
+        cfg = self.config
+        h = self.encode(features, deterministic)
+        if cfg.routing == "mask":
+            if head_positions is None:
+                raise ValueError("routing='mask' requires head_positions")
+            gathered = jnp.take_along_axis(
+                h, head_positions[..., None].astype(jnp.int32), axis=1
+            )  # (B, P, d_model)
+        else:
+            start, end = cfg.segment_bounds
+            gathered = h[:, start:end]
+        if cfg.head.kind == "tied_softmax":
+            return self._tied_logits(gathered)
+        return self.head(gathered)
+
+    def _tied_logits(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Tied-weight output projection over the raw-vocab rows.
+
+        logits = x @ E_items[10:10+V]^T, sharing the item embedding table
+        (BASELINE.json north star; enables vocab-sharded CE under the model
+        mesh axis).
+        """
+        cfg = self.config
+        table = self.embeds[cfg.item_feature].embedding  # (rows, D_item)
+        v = table.shape[0] - NUM_RESERVED_TOKENS - 1  # strip reserved + OOV
+        weights = table[NUM_RESERVED_TOKENS : NUM_RESERVED_TOKENS + v]
+        d_item = weights.shape[-1]
+        # Project the (possibly concatenated) encoder output down to the item
+        # embedding width if multi-variable features widened d_model.
+        if x.shape[-1] != d_item:
+            x = nn.Dense(
+                d_item, dtype=self._dtype, param_dtype=jnp.float32, name="tied_proj"
+            )(x)
+        return jnp.einsum(
+            "bpd,vd->bpv",
+            x,
+            weights.astype(self._dtype),
+            preferred_element_type=jnp.float32,
+        )

@@ -1,0 +1,118 @@
+"""Masked losses over padded variable-length label tensors.
+
+Reworks the reference's ``MaskedLoss`` (losses.py:5-98) and
+``ClozeMaskedLoss``/``cloze_output_adaptor`` (source/utils.py:56-134) the
+TPU-native way:
+
+* Shapes are **static** — labels are always ``(B, P)`` with ``LABEL_PAD``
+  fill, so the entire per-replica-pad adaptor (utils.py:76-90) disappears.
+* Losses take **logits** (reference heads emitted probabilities,
+  head.py:21,45 — numerically inferior, not replicated).
+* Normalization is **global by construction**: ``psum(sum item_loss) /
+  psum(sum mask)`` across the ``data`` mesh axis replaces the empty-subbatch
+  NaN guard (losses.py:83-91). Division is guarded with ``maximum(n, 1)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from bert4clickpath_tpu.constants import LABEL_PAD
+
+
+def _global_mean(total: jnp.ndarray, count: jnp.ndarray, axis_name: Optional[str]):
+    if axis_name is not None:
+        total = jax.lax.psum(total, axis_name)
+        count = jax.lax.psum(count, axis_name)
+    return total / jnp.maximum(count, 1.0)
+
+
+def masked_mean(
+    item_losses: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_pad: int = LABEL_PAD,
+    weights: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """Mean of ``item_losses`` over positions where ``labels != label_pad``.
+
+    The generic reduction shared by every masked loss; equivalent to the
+    reference ``MaskedLoss.call``'s mask/sum/divide (losses.py:50-91) but with
+    a psum so multi-device normalization is exact.
+    """
+    mask = (labels != label_pad).astype(item_losses.dtype)
+    if weights is not None:
+        item_losses = item_losses * weights
+    total = jnp.sum(item_losses * mask)
+    count = jnp.sum(mask)
+    return _global_mean(total, count, axis_name)
+
+
+def masked_softmax_cross_entropy(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_pad: int = LABEL_PAD,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """Sparse softmax CE over (B, P, V) logits / (B, P) int labels with pads.
+
+    The Cloze training loss (reference: sparse_categorical_crossentropy under
+    ClozeMaskedLoss, source/main.py:89). Pad labels are shifted to class 0
+    before the gather — they are masked out of the mean, mirroring the
+    reference's pad-to-zero trick (losses.py:57-58).
+    """
+    logits = logits.astype(jnp.float32)  # CE in f32 even under bf16 compute
+    safe_labels = jnp.where(labels == label_pad, 0, labels)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    label_logit = jnp.take_along_axis(
+        logits, safe_labels[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    nll = logz - label_logit
+    return masked_mean(nll, labels, label_pad, axis_name=axis_name)
+
+
+def masked_binary_cross_entropy(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_pad: int = LABEL_PAD,
+    pos_weight: Optional[float] = None,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """Binary CE from logits over (B, P) with -1 pads.
+
+    Matches reference ``MaskedLoss`` with ``pos_weight`` semantics: positives
+    weighted by ``pos_weight``, negatives by 1, and the result normalized by
+    ``(pos_weight + 1) / 2`` to stay on the unweighted scale
+    (losses.py:71-96).
+    """
+    logits = logits.astype(jnp.float32)
+    labels_f = labels.astype(jnp.float32)
+    safe = jnp.where(labels_f == label_pad, 0.0, labels_f)
+    # Stable BCE-with-logits: max(x,0) - x*z + log1p(exp(-|x|))
+    nll = jnp.maximum(logits, 0.0) - logits * safe + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    weights = None
+    if pos_weight is not None:
+        weights = jnp.where(safe == 1.0, jnp.float32(pos_weight), 1.0)
+    loss = masked_mean(nll, labels, label_pad, weights=weights, axis_name=axis_name)
+    if pos_weight is not None:
+        loss = loss / ((pos_weight + 1.0) / 2.0)
+    return loss
+
+
+def masked_multilabel_cross_entropy(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_pad: int = LABEL_PAD,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """Independent-sigmoid CE over (B, C) multi-hot labels with -1 pads.
+
+    Loss for the ``multilabel`` head (reference head.py:50-69 wired through
+    MaskedLoss with binary_crossentropy).
+    """
+    return masked_binary_cross_entropy(
+        logits, labels, label_pad=label_pad, axis_name=axis_name
+    )

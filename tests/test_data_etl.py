@@ -1,0 +1,114 @@
+"""ETL / chaining / generator tests (reference data_utils.py + data_prep)."""
+
+import numpy as np
+import pytest
+
+from bert4clickpath_tpu.constants import CLS_ID, PAD_ID, SEP_ID
+from bert4clickpath_tpu.data import chaining, etl
+from bert4clickpath_tpu.data.generator import ClickStreamGenerator
+
+
+def test_chained_length_and_bounds():
+    # [CLS][SEP] s1(3) [SEP] s2(2) [SEP] -> 2 + 4 + 3 = 9 tokens
+    lens = [3, 2]
+    assert chaining.chained_length(lens) == 9
+    assert chaining.segment_bounds(lens, 0) == (0, 1)  # CLS
+    assert chaining.segment_bounds(lens, 1) == (2, 5)
+    assert chaining.segment_bounds(lens, 2) == (6, 8)
+    with pytest.raises(ValueError):
+        chaining.segment_bounds(lens, 3)
+
+
+def test_chain_sequences_layout():
+    s1 = np.array([[11, 12, PAD_ID]], np.int32)
+    s2 = np.array([[21, 22]], np.int32)
+    chained = chaining.chain_sequences([s1, s2])
+    np.testing.assert_array_equal(
+        chained[0], [CLS_ID, SEP_ID, 11, 12, PAD_ID, SEP_ID, 21, 22, SEP_ID]
+    )
+
+
+def test_group_sequences():
+    pd = pytest.importorskip("pandas")
+    df = pd.DataFrame(
+        {
+            "user": ["u1", "u1", "u2", "u1", "u2"],
+            "item": ["a", "b", "c", "d", "e"],
+            "event": ["v", "v", "w", "x", "w"],
+        }
+    )
+    gids, feats = etl.group_sequences(df, "user")
+    assert gids == ["u1", "u2"]
+    assert list(feats["item"][0]) == ["a", "b", "d"]  # order preserved
+    assert list(feats["event"][1]) == ["w", "w"]
+    # truncation (data_prep/main.py:69-70 semantics: first N rows per group)
+    _, feats2 = etl.group_sequences(df, "user", max_seq_len=2)
+    assert list(feats2["item"][0]) == ["a", "b"]
+
+
+def test_train_test_split_by_group():
+    pd = pytest.importorskip("pandas")
+    df = pd.DataFrame({"user": [f"u{i}" for i in range(50) for _ in range(3)], "x": 0})
+    train, test = etl.train_test_split(df, "user", 0.8, seed=0)
+    train_users = set(train["user"])
+    test_users = set(test["user"])
+    assert not train_users & test_users
+    assert len(train_users) + len(test_users) == 50
+
+
+def test_packed_roundtrip(tmp_path):
+    seqs = [np.arange(i + 1, dtype=np.int32) for i in range(25)]
+    files = etl.write_packed(seqs, str(tmp_path), "t", records_per_shard=10)
+    assert len(files) == 3
+    back = etl.read_packed(str(tmp_path / "t_*.npz"))
+    assert len(back) == 25
+    for a, b in zip(seqs, back):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_generator_deterministic(tmp_path):
+    g1 = ClickStreamGenerator(n_items=40, seed=3)
+    g2 = ClickStreamGenerator(n_items=40, seed=3)
+    i1, e1 = g1.generate_sessions(5)
+    i2, _ = g2.generate_sessions(5)
+    for a, b in zip(i1, i2):
+        np.testing.assert_array_equal(a, b)
+    assert all(0 <= s.max() < 40 for s in i1)
+    assert all(len(s) >= 5 for s in i1)
+    assert len(e1) == 5
+
+
+def test_generator_interface_and_vocab_files(tmp_path):
+    # Signature parity with the reference's intended module
+    # (source/main.py:223-224).
+    gen = ClickStreamGenerator(
+        n_items=12,
+        n_events=4,
+        session_cohesiveness=100,
+        write_vocab_files=True,
+        vocab_dir=str(tmp_path),
+        seed=0,
+    )
+    assert (tmp_path / "item_vocab.txt").exists()
+    assert gen.item_vocab().size == 12
+    it = gen()
+    ex = next(it)
+    assert set(ex) == {"asin", "reviewerID"}
+    assert len(ex["asin"]) >= 5
+
+
+def test_beauty_loader_format(tmp_path):
+    # synthetic beauty.txt: "user item" pairs
+    lines = []
+    for u in range(3):
+        for i in range(6):
+            lines.append(f"u{u} item{(u * 2 + i) % 8}")
+    p = tmp_path / "beauty.txt"
+    p.write_text("\n".join(lines) + "\n")
+    from bert4clickpath_tpu.data.beauty import load_beauty
+
+    seqs, vocab = load_beauty(str(p), max_seq_len=4)
+    assert len(seqs) == 3
+    assert all(len(s) == 4 for s in seqs)  # first-4 truncation
+    # first-appearance vocab: u0's items come first
+    assert vocab.tokens[0] == "item0"

@@ -1,0 +1,82 @@
+"""Ranking/binary metric tests, including the sklearn NDCG oracle the
+reference used as its only automated check (source/utils.py:262-277)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bert4clickpath_tpu.ops import metrics as M
+
+
+def test_ndcg_matches_reference_example():
+    # The reference __main__ oracle (utils.py:262-277): two masked positions,
+    # labels [1, 0], 3-class predictions; sklearn ndcg_score agrees.
+    logits = jnp.asarray(
+        [[[0.9, 0.1, 0.01], [0.5, 0.3, 0.01]]], dtype=jnp.float32
+    )  # (1, 2, 3)
+    labels = jnp.asarray([[1, 0]])
+    stats = M.finalize({k: np.asarray(v) for k, v in M.ranking_stats(logits, labels, ks=(3,)).items()})
+    # position 0: true item 1 ranks 2nd -> 1/log2(3); position 1: true item 0
+    # ranks 1st -> 1. mean = 0.8154648...
+    want = (1.0 / np.log2(3.0) + 1.0) / 2.0
+    assert np.isclose(stats["ndcg@3"], want, rtol=1e-6)
+
+    sklearn = pytest.importorskip("sklearn.metrics")
+    sk = sklearn.ndcg_score(
+        [[0, 1, 0], [1, 0, 0]], [[0.9, 0.1, 0.01], [0.5, 0.3, 0.01]], k=3
+    )
+    assert np.isclose(stats["ndcg@3"], sk, rtol=1e-6)
+
+
+def test_recall_at_k():
+    logits = jnp.asarray(
+        [
+            [
+                [0.1, 0.9, 0.0, 0.0],  # label 1 -> rank 0, hit@1
+                [0.4, 0.3, 0.2, 0.1],  # label 3 -> rank 3, miss@2
+            ]
+        ]
+    )
+    labels = jnp.asarray([[1, 3]])
+    stats = M.finalize(
+        {k: np.asarray(v) for k, v in M.ranking_stats(logits, labels, ks=(2, 4)).items()}
+    )
+    assert stats["recall@2"] == 0.5
+    assert stats["recall@4"] == 1.0
+    assert stats["n"] == 2
+
+
+def test_pad_positions_excluded():
+    logits = jnp.ones((2, 3, 4))
+    labels = jnp.asarray([[0, -1, -1], [1, 2, -1]])
+    stats = M.ranking_stats(logits, labels, ks=(2,))
+    assert float(stats["n"]) == 3.0
+
+
+def test_merge_and_psum_shape():
+    logits = jnp.ones((1, 2, 4))
+    labels = jnp.asarray([[0, 1]])
+    s1 = M.ranking_stats(logits, labels)
+    s2 = M.ranking_stats(logits, labels)
+    merged = M.merge(s1, s2)
+    assert float(merged["n"]) == 4.0
+
+
+def test_binary_stats_and_f1():
+    logits = jnp.asarray([[5.0, -5.0, 5.0, -5.0]])  # preds: 1, 0, 1, 0
+    labels = jnp.asarray([[1, 1, 0, -1]])  # tp=1, fp=1, fn=1; last padded
+    stats = M.finalize({k: np.asarray(v) for k, v in M.binary_stats(logits, labels).items()})
+    assert stats["n"] == 3
+    assert np.isclose(stats["positives"], 2 / 3)
+    assert np.isclose(stats["pred_positives"], 2 / 3)
+    # F1 = 2*tp/(condition_true + predicted_true) (reference metrics.py:80-81)
+    assert np.isclose(stats["f1"], 2 * 1 / (2 + 2))
+
+
+def test_masked_accuracy():
+    logits = jnp.asarray([[[0.0, 9.0], [9.0, 0.0]]])
+    labels = jnp.asarray([[1, 1]])
+    stats = M.finalize(
+        {k: np.asarray(v) for k, v in M.masked_accuracy_stats(logits, labels).items()}
+    )
+    assert stats["accuracy"] == 0.5
