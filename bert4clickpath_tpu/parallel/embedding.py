@@ -1,0 +1,193 @@
+"""Row-sharded embedding tables: lookup, vocab-parallel CE, distributed top-k.
+
+The core of the large-catalog tier (BASELINE.json north star; nothing like it
+exists in the reference, which used a single-device Keras Embedding,
+transformer.py:346-355). The item table lives row-sharded across the
+``model`` mesh axis; these functions run *inside* ``jax.shard_map`` where
+each device holds its ``(V_local, D)`` shard:
+
+* :func:`sharded_embedding_lookup` — each shard gathers the rows it owns and
+  a ``psum`` over ``model`` assembles full embeddings. The backward pass is
+  automatically the correct scatter-add into the owning shard (psum's VJP is
+  identity, take's VJP is scatter-add).
+* :func:`sharded_softmax_cross_entropy` — Megatron-style vocab-parallel CE:
+  local partial logits ``x @ shard^T``, global logsumexp via
+  pmax/psum, label logit fetched from the owning shard. The full
+  ``(B, P, V)`` logits tensor is **never materialized in HBM** — at 10M items
+  that tensor would be ~4 GB per batch; here peak extra memory is
+  ``(B, P, V/S)``.
+* :func:`sharded_top_k` — local top-k per shard, all_gather of S*k
+  candidates, exact global top-k merge (eval at full catalog).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from bert4clickpath_tpu.constants import LABEL_PAD
+
+
+def shard_info(axis_name: str) -> tuple[jnp.ndarray, int]:
+    """(my shard index, number of shards) inside shard_map."""
+    return jax.lax.axis_index(axis_name), jax.lax.axis_size(axis_name)
+
+
+def sharded_embedding_lookup(
+    table_shard: jnp.ndarray,  # (V_local, D) this device's rows
+    ids: jnp.ndarray,  # (...,) global row ids
+    axis_name: str = "model",
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Gather global ids from a row-sharded table; returns (..., D) full
+    embeddings on every shard."""
+    idx, _ = shard_info(axis_name)
+    v_local = table_shard.shape[0]
+    local = ids - idx * v_local
+    in_range = (local >= 0) & (local < v_local)
+    rows = jnp.take(table_shard, jnp.clip(local, 0, v_local - 1), axis=0)
+    if compute_dtype is not None:
+        rows = rows.astype(compute_dtype)
+    rows = jnp.where(in_range[..., None], rows, jnp.zeros_like(rows))
+    return jax.lax.psum(rows, axis_name)
+
+
+NEG_BIG = -1e30  # blinds reserved/OOV/padding rows in f32 logits
+
+
+def sharded_logits_local(
+    x: jnp.ndarray,  # (B, P, D)
+    table_shard: jnp.ndarray,  # (V_local, D) rows this shard owns
+    shard_index: Optional[jnp.ndarray] = None,
+    row_offset: int = 0,
+    num_valid: Optional[int] = None,
+) -> jnp.ndarray:
+    """Partial tied-projection logits over this shard's vocab rows (f32).
+
+    With tied weights the shard holds *model-space* rows (reserved tokens,
+    raw vocab, OOV bucket, divisibility padding). ``row_offset`` /
+    ``num_valid`` blind every row outside ``[row_offset, row_offset +
+    num_valid)`` so reserved/OOV/pad rows can never be predicted — the
+    model-space CE then equals CE over the raw label space.
+    """
+    logits = jnp.einsum(
+        "bpd,vd->bpv", x, table_shard.astype(x.dtype), preferred_element_type=jnp.float32
+    )
+    if num_valid is not None:
+        assert shard_index is not None
+        v_local = table_shard.shape[0]
+        rows = shard_index * v_local + jnp.arange(v_local)
+        valid = (rows >= row_offset) & (rows < row_offset + num_valid)
+        logits = jnp.where(valid[None, None, :], logits, NEG_BIG)
+    return logits
+
+
+def sharded_softmax_cross_entropy(
+    x: jnp.ndarray,  # (B, P, D) gathered head inputs
+    table_shard: jnp.ndarray,  # (V_local, D) projection rows this shard owns
+    labels: jnp.ndarray,  # (B, P) label-space ids, LABEL_PAD padded
+    model_axis: str = "model",
+    data_axis: Optional[str] = "data",
+    label_pad: int = LABEL_PAD,
+    row_offset: int = 0,
+    num_valid: Optional[int] = None,
+) -> jnp.ndarray:
+    """Globally-normalized masked CE without materializing full logits.
+
+    ``row_offset``/``num_valid`` handle the tied model-space table (see
+    :func:`sharded_logits_local`); labels stay in label space and are shifted
+    by ``row_offset`` when locating their owning shard.
+    """
+    idx, _ = shard_info(model_axis)
+    v_local = table_shard.shape[0]
+    logits_local = sharded_logits_local(
+        x, table_shard, idx, row_offset, num_valid
+    )  # (B, P, Vl) f32
+
+    # The max shift is for numerical stability only — mathematically it
+    # cancels in logz, so cut it out of the autodiff graph (pmax has no VJP).
+    local_max = jax.lax.stop_gradient(jnp.max(logits_local, axis=-1))
+    global_max = jax.lax.pmax(local_max, model_axis)  # (B, P)
+    # NEG_BIG rows underflow to exp(-huge)=0 — they never enter the partition
+    sumexp = jnp.sum(jnp.exp(logits_local - global_max[..., None]), axis=-1)
+    total = jax.lax.psum(sumexp, model_axis)
+    logz = global_max + jnp.log(total)  # (B, P)
+
+    safe = jnp.where(labels == label_pad, 0, labels) + row_offset
+    local_label = safe - idx * v_local
+    owned = (local_label >= 0) & (local_label < v_local)
+    picked = jnp.take_along_axis(
+        logits_local, jnp.clip(local_label, 0, v_local - 1)[..., None], axis=-1
+    )[..., 0]
+    label_logit = jax.lax.psum(jnp.where(owned, picked, 0.0), model_axis)
+
+    nll = logz - label_logit
+    mask = (labels != label_pad).astype(nll.dtype)
+    total_loss = jnp.sum(nll * mask)
+    count = jnp.sum(mask)
+    if data_axis is not None:
+        total_loss = jax.lax.psum(total_loss, data_axis)
+        count = jax.lax.psum(count, data_axis)
+    return total_loss / jnp.maximum(count, 1.0)
+
+
+def sharded_top_k(
+    logits_local: jnp.ndarray,  # (..., V_local)
+    k: int,
+    model_axis: str = "model",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact global top-k over the sharded vocab dimension.
+
+    Returns (values, global indices), both (..., k), identical on every
+    model shard. Communication: one all_gather of k candidates per shard —
+    S*k values instead of the full V.
+    """
+    idx, _ = shard_info(model_axis)
+    v_local = logits_local.shape[-1]
+    kk = min(k, v_local)
+    vals, local_idx = jax.lax.top_k(logits_local, kk)
+    global_idx = local_idx + idx * v_local
+    # (S, ..., kk) on every shard
+    all_vals = jax.lax.all_gather(vals, model_axis)
+    all_idx = jax.lax.all_gather(global_idx, model_axis)
+    # fold shard axis into candidates: (..., S*kk)
+    all_vals = jnp.moveaxis(all_vals, 0, -2).reshape(*vals.shape[:-1], -1)
+    all_idx = jnp.moveaxis(all_idx, 0, -2).reshape(*vals.shape[:-1], -1)
+    top_vals, pos = jax.lax.top_k(all_vals, k)
+    top_idx = jnp.take_along_axis(all_idx, pos, axis=-1)
+    return top_vals, top_idx
+
+
+def sharded_ranking_stats(
+    x: jnp.ndarray,
+    table_shard: jnp.ndarray,
+    labels: jnp.ndarray,
+    ks=(5, 10),
+    model_axis: str = "model",
+    data_axis: Optional[str] = "data",
+    label_pad: int = LABEL_PAD,
+    row_offset: int = 0,
+    num_valid: Optional[int] = None,
+) -> dict[str, jnp.ndarray]:
+    """recall@k / NDCG@k sums computed against the sharded full catalog."""
+    idx, _ = shard_info(model_axis)
+    logits_local = sharded_logits_local(x, table_shard, idx, row_offset, num_valid)
+    kmax = max(ks)
+    _, top_idx = sharded_top_k(logits_local, kmax, model_axis)  # (B, P, kmax)
+    top_idx = top_idx - row_offset  # back to label space
+    mask = (labels != label_pad).astype(jnp.float32)
+    hit = (top_idx == labels[..., None]).astype(jnp.float32)
+    discounts = 1.0 / (
+        jnp.log(jnp.arange(2, kmax + 2, dtype=jnp.float32)) / jnp.log(2.0)
+    )
+    stats = {"n": jnp.sum(mask)}
+    for k in ks:
+        stats[f"recall@{k}_sum"] = jnp.sum(jnp.sum(hit[..., :k], axis=-1) * mask)
+        stats[f"ndcg@{k}_sum"] = jnp.sum(
+            jnp.sum(hit[..., :k] * discounts[:k], axis=-1) * mask
+        )
+    if data_axis is not None:
+        stats = {k: jax.lax.psum(v, data_axis) for k, v in stats.items()}
+    return stats

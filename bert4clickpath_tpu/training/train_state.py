@@ -1,0 +1,145 @@
+"""Train state + jitted step factories.
+
+The functional replacement for Keras ``model.compile``/``fit``'s train step
+(reference source/main.py:60-97,159-165): Adam(b1=0.9, b2=0.999, eps=1e-9)
+with the loss chosen by head kind, all inside one jitted function.
+
+LR plumbing: updates are produced by ``scale_by_adam`` and multiplied by
+``schedule(step) * lr_scale`` inside the step; ``lr_scale`` is a state field
+the trainer shrinks on validation plateau (reference ReduceLROnPlateau,
+source/main.py:134) — no retrace, works under pjit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from bert4clickpath_tpu.ops import metrics as metrics_lib
+from bert4clickpath_tpu.ops.losses import (
+    masked_binary_cross_entropy,
+    masked_multilabel_cross_entropy,
+    masked_softmax_cross_entropy,
+)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    lr_scale: jnp.ndarray  # plateau-decayed multiplier
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            lr_scale=jnp.ones((), jnp.float32),
+        )
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    """Adam sans-LR; LR applied in the step (see module docstring)."""
+    return optax.chain(
+        optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps),
+        optax.scale(-1.0),
+    )
+
+
+def loss_for_head(head_kind: str) -> Callable:
+    if head_kind in ("softmax", "tied_softmax"):
+        return masked_softmax_cross_entropy
+    if head_kind == "binary":
+        return masked_binary_cross_entropy
+    if head_kind == "multilabel":
+        return masked_multilabel_cross_entropy
+    raise ValueError(head_kind)
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    schedule: Callable,
+    loss_fn: Optional[Callable] = None,
+    axis_name: Optional[str] = None,
+    donate: bool = True,
+):
+    """Returns jitted ``(state, batch, rng) -> (state, loss)``.
+
+    batch: {'features': {...}, 'head_positions': (B,P), 'labels': (B,P)}.
+    Under pjit, pass ``axis_name='data'`` so loss normalization psums.
+    """
+    loss_fn = loss_fn or loss_for_head(model.config.head.kind)
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def compute_loss(params):
+            logits = model.apply(
+                params,
+                batch["features"],
+                batch.get("head_positions"),
+                deterministic=False,
+                rngs={"dropout": rng},
+            )
+            return loss_fn(logits, batch["labels"], axis_name=axis_name)
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        lr = schedule(state.step) * state.lr_scale
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+        return new_state, loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    model,
+    loss_fn: Optional[Callable] = None,
+    ks=(5, 10),
+    axis_name: Optional[str] = None,
+):
+    """Returns jitted ``(params, batch) -> (loss_sum_stats, metric_stats)``.
+
+    Emits *sums* so the host (or a psum) can aggregate exactly across
+    batches/devices; ranking metrics only for softmax-family heads.
+    """
+    head_kind = model.config.head.kind
+    loss_fn = loss_fn or loss_for_head(head_kind)
+
+    def step(params, batch):
+        logits = model.apply(
+            params, batch["features"], batch.get("head_positions"), deterministic=True
+        )
+        labels = batch["labels"]
+        loss = loss_fn(logits, labels, axis_name=axis_name)
+        mask = (labels != -1).astype(jnp.float32)
+        n = jnp.sum(mask)
+        if axis_name is not None:
+            n = jax.lax.psum(n, axis_name)
+        stats = {"loss_sum": loss * n, "n": n}
+        if head_kind in ("softmax", "tied_softmax"):
+            rstats = metrics_lib.ranking_stats(logits, labels, ks=ks)
+            if axis_name is not None:
+                rstats = metrics_lib.psum_stats(rstats, axis_name)
+            rstats.pop("n")
+            stats.update(rstats)
+        elif head_kind == "binary":
+            bstats = metrics_lib.binary_stats(logits, labels)
+            if axis_name is not None:
+                bstats = metrics_lib.psum_stats(bstats, axis_name)
+            bstats.pop("n")
+            stats.update(bstats)
+        return stats
+
+    return jax.jit(step)

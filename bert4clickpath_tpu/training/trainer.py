@@ -1,0 +1,154 @@
+"""Training loop with the reference's callback semantics.
+
+Replaces Keras ``model.fit`` + callbacks (reference source/main.py:123-167):
+
+* epochs of ``steps_per_epoch`` jitted train steps;
+* a validation pass per epoch (val_loss + ranking metrics);
+* ReduceLROnPlateau(patience=10, factor=0.317) — via the state's
+  ``lr_scale`` field (no retrace);
+* EarlyStopping(patience=30) on val_loss;
+* best-checkpoint save + best serving export;
+* metric history as JSONL (the TB-scalar replacement; point
+  ``jax.profiler`` at the step loop for traces).
+
+Host-0-only side effects; metric sums are exact global values by
+construction (losses/metrics psum when ``axis_name`` is set).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Callable, Iterator, Optional
+
+import jax
+import numpy as np
+
+from bert4clickpath_tpu.config import TrainConfig
+from bert4clickpath_tpu.ops import metrics as metrics_lib
+from bert4clickpath_tpu.training import checkpoint as ckpt_lib
+from bert4clickpath_tpu.training.train_state import TrainState
+
+
+class Trainer:
+    def __init__(
+        self,
+        train_step: Callable,
+        eval_step: Callable,
+        cfg: TrainConfig,
+        model_dir: Optional[str] = None,
+        to_device: Callable = lambda b: b,
+        export_fn: Optional[Callable] = None,
+        is_host0: bool = True,
+    ):
+        """
+        train_step: (state, batch, rng) -> (state, loss)
+        eval_step: (params, batch) -> stats dict of sums
+        to_device: ClozeBatch -> the batch dict the steps expect (handles
+            device_put / sharding in the pjit case)
+        export_fn: params -> None, called when val_loss improves
+        """
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.cfg = cfg
+        self.model_dir = model_dir
+        self.to_device = to_device
+        self.export_fn = export_fn
+        self.is_host0 = is_host0
+        self.history: list[dict] = []
+
+    # -- logging ----------------------------------------------------------
+    def _log(self, record: dict):
+        self.history.append(record)
+        if not self.is_host0:
+            return
+        msg = " ".join(
+            f"{k}={v:.5f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in record.items()
+        )
+        print(msg, flush=True)
+        if self.model_dir:
+            os.makedirs(self.model_dir, exist_ok=True)
+            with open(os.path.join(self.model_dir, "history.jsonl"), "a") as f:
+                f.write(json.dumps(record) + "\n")
+
+    # -- evaluation -------------------------------------------------------
+    def evaluate(self, params, eval_batches: Iterator) -> dict[str, float]:
+        acc = None
+        for batch in eval_batches:
+            stats = self.eval_step(params, self.to_device(batch))
+            stats = {k: np.asarray(v) for k, v in stats.items()}
+            acc = stats if acc is None else metrics_lib.merge(acc, stats)
+        if acc is None:
+            return {"n": 0.0, "loss": float("nan")}
+        out = metrics_lib.finalize(acc)
+        return out
+
+    # -- fit --------------------------------------------------------------
+    def fit(
+        self,
+        state: TrainState,
+        train_batches: Iterator,
+        eval_batches_fn: Callable[[], Iterator],
+        rng,
+        n_epochs: Optional[int] = None,
+    ) -> TrainState:
+        cfg = self.cfg
+        n_epochs = n_epochs if n_epochs is not None else cfg.n_epochs
+        best_val = math.inf
+        epochs_since_best = 0
+        epochs_since_plateau_cut = 0
+
+        for epoch in range(n_epochs):
+            t0 = time.monotonic()
+            losses = []
+            for _ in range(cfg.steps_per_epoch):
+                batch = next(train_batches)
+                state, loss = self.train_step(state, self.to_device(batch), rng)
+                losses.append(loss)
+            train_loss = float(np.mean([np.asarray(l) for l in losses]))
+            dt = time.monotonic() - t0
+
+            val = self.evaluate(state.params, eval_batches_fn())
+            record = {
+                "epoch": epoch,
+                "step": int(np.asarray(state.step)),
+                "train_loss": train_loss,
+                "val_loss": float(val.get("loss", float("nan"))),
+                "epoch_seconds": round(dt, 3),
+                "lr_scale": float(np.asarray(state.lr_scale)),
+            }
+            for k, v in val.items():
+                if k not in ("loss", "n"):
+                    record[f"val_{k}"] = float(v)
+            self._log(record)
+
+            val_loss = record["val_loss"]
+            if val_loss < best_val:
+                best_val = val_loss
+                epochs_since_best = 0
+                epochs_since_plateau_cut = 0
+                if self.model_dir and self.is_host0:
+                    ckpt_lib.save_checkpoint(
+                        os.path.join(self.model_dir, "ckpts"),
+                        jax.device_get(state),
+                        int(np.asarray(state.step)),
+                    )
+                if self.export_fn is not None and self.is_host0:
+                    self.export_fn(jax.device_get(state.params))
+            else:
+                epochs_since_best += 1
+                epochs_since_plateau_cut += 1
+                # ReduceLROnPlateau (reference source/main.py:134)
+                if epochs_since_plateau_cut >= cfg.plateau_patience:
+                    state = state.replace(
+                        lr_scale=state.lr_scale * cfg.plateau_factor
+                    )
+                    epochs_since_plateau_cut = 0
+                # EarlyStopping (reference source/main.py:156)
+                if epochs_since_best >= cfg.early_stopping_patience:
+                    self._log({"epoch": epoch, "early_stop": True})
+                    break
+        return state

@@ -1,0 +1,231 @@
+"""Parallel-tier tests on the 8-device virtual CPU mesh: sharded embedding
+lookup, vocab-parallel CE, distributed top-k, and the full SPMD train step
+vs the single-device reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from bert4clickpath_tpu import (
+    ClickstreamModel,
+    FeatureConfig,
+    HeadConfig,
+    MeshConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from bert4clickpath_tpu.constants import LABEL_PAD, NUM_RESERVED_TOKENS
+from bert4clickpath_tpu.data.generator import ClickStreamGenerator
+from bert4clickpath_tpu.data.pipeline import ClozeDataset
+from bert4clickpath_tpu.ops.losses import masked_softmax_cross_entropy
+from bert4clickpath_tpu.parallel import embedding as emb_ops
+from bert4clickpath_tpu.parallel import spmd
+from bert4clickpath_tpu.parallel.mesh import make_mesh
+from bert4clickpath_tpu.training.train_state import TrainState, make_optimizer
+from bert4clickpath_tpu.training import schedules
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _mesh(data=2, model=4):
+    return make_mesh(MeshConfig(data=data, model=model))
+
+
+def test_sharded_lookup_matches_dense():
+    mesh = _mesh()
+    rng = np.random.default_rng(0)
+    table = rng.normal(size=(32, 8)).astype(np.float32)  # 32 rows / 4 shards
+    ids = rng.integers(0, 32, size=(4, 6)).astype(np.int32)
+
+    def f(table_shard, ids):
+        return emb_ops.sharded_embedding_lookup(table_shard, ids, "model")
+
+    out = jax.jit(
+        jax.shard_map(
+            f,
+            mesh=mesh,
+            in_specs=(P("model", None), P("data", None)),
+            out_specs=P("data", None, None),
+            check_vma=False,
+        )
+    )(table, ids)
+    np.testing.assert_allclose(np.asarray(out), table[ids], rtol=1e-6)
+
+
+def test_sharded_ce_matches_dense():
+    mesh = _mesh()
+    rng = np.random.default_rng(1)
+    v_rows, d = 32, 8  # model-space rows (padded), divisible by 4
+    num_valid = 15  # raw vocab size
+    table = rng.normal(size=(v_rows, d)).astype(np.float32)
+    x = rng.normal(size=(4, 3, d)).astype(np.float32)
+    labels = rng.integers(0, num_valid, size=(4, 3)).astype(np.int32)
+    labels[0, 2] = LABEL_PAD
+    labels[2, :] = LABEL_PAD
+
+    def f(x, table_shard, labels):
+        return emb_ops.sharded_softmax_cross_entropy(
+            x,
+            table_shard,
+            labels,
+            row_offset=NUM_RESERVED_TOKENS,
+            num_valid=num_valid,
+        )
+
+    got = jax.jit(
+        jax.shard_map(
+            f,
+            mesh=mesh,
+            in_specs=(P("data", None, None), P("model", None), P("data", None)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )(x, table, labels)
+
+    # dense reference: logits over the valid label rows only
+    dense_logits = np.einsum(
+        "bpd,vd->bpv", x, table[NUM_RESERVED_TOKENS : NUM_RESERVED_TOKENS + num_valid]
+    )
+    want = masked_softmax_cross_entropy(jnp.asarray(dense_logits), jnp.asarray(labels))
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_sharded_topk_matches_dense():
+    mesh = _mesh(data=1, model=8)
+    rng = np.random.default_rng(2)
+    logits = rng.normal(size=(3, 40)).astype(np.float32)  # vocab 40 / 8 shards
+
+    def f(logits_local):
+        vals, idx = emb_ops.sharded_top_k(logits_local, 5, "model")
+        return vals, idx
+
+    vals, idx = jax.jit(
+        jax.shard_map(
+            f,
+            mesh=mesh,
+            in_specs=(P(None, "model"),),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )(logits)
+    want_idx = np.argsort(-logits, axis=-1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(logits, want_idx, axis=-1), rtol=1e-6
+    )
+
+
+def _spmd_setup(n_items=22, d=16, mesh_shape=(2, 4)):
+    mesh = _mesh(*mesh_shape)
+    gen = ClickStreamGenerator(n_items=n_items, session_cohesiveness=200, seed=0)
+    items, _ = gen.generate_sessions(64)
+    vocab = gen.item_vocab()
+    ds = ClozeDataset(items, vocab, max_items=20)
+    rows = spmd.padded_vocab_rows(vocab.model_vocab_size, mesh_shape[1])
+    cfg = ModelConfig(
+        features={"items": FeatureConfig(rows, d)},
+        num_layers=1,
+        num_heads=2,
+        ffn_dim=32,
+        max_len=23,
+        dropout_rate=0.0,  # exact single-vs-multi comparison
+        head=HeadConfig("tied_softmax"),
+    )
+    return mesh, ds, vocab, cfg
+
+
+def _device_batch(batch):
+    return {
+        "features": {k: jnp.asarray(v) for k, v in batch.features.items()},
+        "head_positions": jnp.asarray(batch.head_positions),
+        "labels": jnp.asarray(batch.labels),
+    }
+
+
+def test_spmd_train_step_matches_single_device():
+    mesh, ds, vocab, cfg = _spmd_setup()
+    tcfg = TrainConfig()
+    model = ClickstreamModel(cfg)
+    b = _device_batch(next(ds.train_batches(8, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+    )["params"]
+    tx = make_optimizer(tcfg)
+    state = TrainState.create(params, tx)
+
+    # single-device loss at the same params (dense tied head blinds nothing
+    # because padding rows exist: compare against dense CE over valid rows)
+    from bert4clickpath_tpu.parallel.embedding import NEG_BIG  # noqa: F401
+
+    # dense reference loss FIRST (the SPMD step donates the state buffers):
+    # full forward with the tied head on one device. The model's tied head
+    # uses rows [10, 10+V_table) where V_table = rows-10-1 includes the OOV
+    # row + divisibility padding; restrict to the true vocab.
+    logits = model.apply({"params": params}, b["features"], b["head_positions"])
+    dense = logits[..., : vocab.label_vocab_size]
+    want = float(masked_softmax_cross_entropy(dense, b["labels"]))
+
+    step = spmd.make_spmd_train_step(
+        cfg, mesh, tx, schedules.constant(1e-2), vocab.label_vocab_size
+    )
+    sharded_state = spmd.shard_state(state, mesh, cfg)
+    sharded_batch = spmd.shard_batch(b, mesh, cfg)
+    new_state, loss = step(sharded_state, sharded_batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(loss), float(want), rtol=2e-4)
+    assert int(np.asarray(new_state.step)) == 1
+
+
+def test_spmd_training_learns():
+    mesh, ds, vocab, cfg = _spmd_setup()
+    tcfg = TrainConfig()
+    model = ClickstreamModel(cfg)
+    b0 = _device_batch(next(ds.train_batches(16, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"]
+    )["params"]
+    tx = make_optimizer(tcfg)
+    state = spmd.shard_state(TrainState.create(params, tx), mesh, cfg)
+    step = spmd.make_spmd_train_step(
+        cfg, mesh, tx, schedules.constant(1e-2), vocab.label_vocab_size
+    )
+    rng = jax.random.PRNGKey(1)
+    it = ds.train_batches(16, seed=1)
+    first = None
+    for i in range(30):
+        state, loss = step(state, spmd.shard_batch(_device_batch(next(it)), mesh, cfg), rng)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first
+
+
+def test_spmd_eval_step():
+    mesh, ds, vocab, cfg = _spmd_setup()
+    tcfg = TrainConfig()
+    model = ClickstreamModel(cfg)
+    b = _device_batch(next(ds.train_batches(8, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+    )["params"]
+    ev = spmd.make_spmd_eval_step(cfg, mesh, vocab.label_vocab_size)
+    stats = ev(params, spmd.shard_batch(b, mesh, cfg))
+    stats = {k: float(np.asarray(v)) for k, v in stats.items()}
+    n_valid = int((np.asarray(b["labels"]) != LABEL_PAD).sum())
+    assert stats["n"] == n_valid
+    assert 0.0 <= stats["recall@10_sum"] <= stats["n"]
+    # sanity vs dense ranking on one device
+    logits = model.apply({"params": params}, b["features"], b["head_positions"])
+    from bert4clickpath_tpu.ops.metrics import ranking_stats
+
+    dense = ranking_stats(
+        logits[..., : vocab.label_vocab_size], b["labels"], ks=(5, 10)
+    )
+    np.testing.assert_allclose(
+        stats["recall@10_sum"], float(dense["recall@10_sum"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        stats["ndcg@10_sum"], float(dense["ndcg@10_sum"]), rtol=1e-5
+    )

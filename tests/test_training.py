@@ -1,0 +1,235 @@
+"""Training-tier tests: schedules, train/eval steps, trainer callbacks,
+checkpoint/restore, transfer learning, serving export."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bert4clickpath_tpu import (
+    ClickstreamModel,
+    FeatureConfig,
+    HeadConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from bert4clickpath_tpu.data.generator import ClickStreamGenerator
+from bert4clickpath_tpu.data.pipeline import ClozeDataset
+from bert4clickpath_tpu.training import checkpoint as ckpt_lib
+from bert4clickpath_tpu.training import schedules
+from bert4clickpath_tpu.training.serving import ServingModel
+from bert4clickpath_tpu.training.train_state import (
+    TrainState,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from bert4clickpath_tpu.training.trainer import Trainer
+
+
+def _setup(head_kind="tied_softmax", n_items=30, n_sessions=80):
+    gen = ClickStreamGenerator(n_items=n_items, session_cohesiveness=200, seed=0)
+    items, _ = gen.generate_sessions(n_sessions)
+    vocab = gen.item_vocab()
+    ds = ClozeDataset(items, vocab, max_items=20)
+    head = (
+        HeadConfig("tied_softmax")
+        if head_kind == "tied_softmax"
+        else HeadConfig(head_kind, (16,), vocab.label_vocab_size)
+    )
+    cfg = ModelConfig(
+        features={"items": FeatureConfig(vocab.model_vocab_size, 16)},
+        num_layers=1,
+        num_heads=1,
+        ffn_dim=32,
+        max_len=23,
+        head=head,
+    )
+    model = ClickstreamModel(cfg)
+    return ds, vocab, cfg, model
+
+
+def _to_device(batch):
+    return {
+        "features": {k: jnp.asarray(v) for k, v in batch.features.items()},
+        "head_positions": jnp.asarray(batch.head_positions),
+        "labels": jnp.asarray(batch.labels),
+    }
+
+
+def test_rsqrt_warmup_single_scale():
+    # scale must apply once (reference bug training_utils.py:34-36 fixed)
+    s2 = schedules.rsqrt_warmup(64, 100, scale=2.0)
+    s1 = schedules.rsqrt_warmup(64, 100, scale=1.0)
+    step = jnp.asarray(10)
+    assert np.isclose(float(s2(step)), 2.0 * float(s1(step)))
+
+
+def test_exp_decay_floor():
+    s = schedules.exponential_decay_to_floor(1e-2, 1e-4, 10, 0.5)
+    assert float(s(jnp.asarray(0))) == pytest.approx(1e-2)
+    assert float(s(jnp.asarray(10_000))) == pytest.approx(1e-4, rel=1e-3)
+
+
+def test_train_step_reduces_loss():
+    ds, vocab, cfg, model = _setup()
+    tcfg = TrainConfig(batch_size=16, steps_per_epoch=30)
+    b0 = _to_device(next(ds.train_batches(16, seed=0)))
+    params = model.init({"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"])
+    tx = make_optimizer(tcfg)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, schedules.constant(1e-2), donate=False)
+    rng = jax.random.PRNGKey(1)
+    it = ds.train_batches(16, seed=1)
+    first = None
+    for i in range(40):
+        state, loss = step(state, _to_device(next(it)), rng)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first
+    assert int(state.step) == 40
+
+
+def test_eval_step_stats_keys():
+    ds, vocab, cfg, model = _setup()
+    b = _to_device(next(ds.train_batches(8, seed=0)))
+    params = model.init({"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"])
+    ev = make_eval_step(model)
+    stats = ev(params, b)
+    assert {"loss_sum", "n", "recall@10_sum", "ndcg@10_sum"} <= set(stats)
+
+
+def test_trainer_fit_callbacks(tmp_path):
+    ds, vocab, cfg, model = _setup()
+    tcfg = TrainConfig(
+        batch_size=16,
+        steps_per_epoch=5,
+        n_epochs=3,
+        plateau_patience=1,
+        plateau_factor=0.5,
+        early_stopping_patience=10,
+    )
+    b0 = _to_device(next(ds.train_batches(16, seed=0)))
+    params = model.init({"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"])
+    tx = make_optimizer(tcfg)
+    state = TrainState.create(params, tx)
+    trainer = Trainer(
+        make_train_step(model, tx, schedules.constant(1e-3), donate=False),
+        make_eval_step(model),
+        tcfg,
+        model_dir=str(tmp_path),
+        to_device=_to_device,
+    )
+    state = trainer.fit(
+        state,
+        ds.train_batches(16, seed=1),
+        lambda: ds.eval_batches(16, limit_batches=2),
+        jax.random.PRNGKey(2),
+    )
+    assert len(trainer.history) == 3
+    assert "val_recall@10" in trainer.history[0]
+    assert os.path.exists(tmp_path / "history.jsonl")
+    # a best checkpoint was saved
+    assert ckpt_lib.latest_checkpoint(str(tmp_path / "ckpts")) is not None
+
+
+def test_trainer_early_stopping_and_plateau():
+    ds, vocab, cfg, model = _setup()
+    tcfg = TrainConfig(
+        batch_size=16,
+        steps_per_epoch=1,
+        n_epochs=20,
+        plateau_patience=2,
+        plateau_factor=0.5,
+        early_stopping_patience=4,
+    )
+    b0 = _to_device(next(ds.train_batches(16, seed=0)))
+    params = model.init({"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"])
+    tx = make_optimizer(tcfg)
+    state = TrainState.create(params, tx)
+    # LR 0 -> nothing improves after epoch 0 -> plateau cuts + early stop
+    trainer = Trainer(
+        make_train_step(model, tx, schedules.constant(0.0), donate=False),
+        make_eval_step(model),
+        tcfg,
+        to_device=_to_device,
+    )
+    state = trainer.fit(
+        state,
+        ds.train_batches(16, seed=1),
+        lambda: ds.eval_batches(16, limit_batches=1),
+        jax.random.PRNGKey(2),
+    )
+    records = [r for r in trainer.history if "early_stop" in r]
+    assert records, "early stopping should have fired"
+    assert float(np.asarray(state.lr_scale)) < 1.0  # plateau reduced LR
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    ds, vocab, cfg, model = _setup()
+    tcfg = TrainConfig()
+    b0 = _to_device(next(ds.train_batches(8, seed=0)))
+    params = model.init({"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"])
+    tx = make_optimizer(tcfg)
+    state = TrainState.create(params, tx)
+    path = ckpt_lib.save_checkpoint(str(tmp_path / "ckpts"), jax.device_get(state), 7)
+    assert ckpt_lib.latest_checkpoint(str(tmp_path / "ckpts")) == path
+    restored = ckpt_lib.restore_state(path, state)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(state),
+        restored,
+    )
+
+
+def test_transfer_learning_encoder_swap_head(tmp_path):
+    """Pretrain with tied softmax -> fine-tune a binary head on the same
+    encoder (reference fine-tune path, source/main.py:100-120)."""
+    ds, vocab, cfg, model = _setup("tied_softmax")
+    b0 = _to_device(next(ds.train_batches(8, seed=0)))
+    params = model.init({"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"])
+    ckpt_lib.save_params(
+        str(tmp_path / "pre"), ckpt_lib.init_params_like_subset(jax.device_get(params))
+    )
+
+    cfg2 = ModelConfig(
+        features=cfg.features,
+        num_layers=cfg.num_layers,
+        num_heads=cfg.num_heads,
+        ffn_dim=cfg.ffn_dim,
+        max_len=cfg.max_len,
+        head=HeadConfig("binary", (8,)),
+        routing="segment",
+        segment_bounds=(0, 1),
+    )
+    model2 = ClickstreamModel(cfg2)
+    params2 = model2.init({"params": jax.random.PRNGKey(3)}, b0["features"])
+    merged = ckpt_lib.restore_encoder(str(tmp_path / "pre"), jax.device_get(params2))
+    # encoder + embeddings match the pretrained values
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["embed_items"]["embedding"]),
+        np.asarray(params["params"]["embed_items"]["embedding"]),
+    )
+    # head params exist (fresh)
+    assert "head" in merged["params"]
+    logits = model2.apply(merged, b0["features"])
+    assert logits.shape == (8, 1)
+
+
+def test_serving_export_roundtrip(tmp_path):
+    ds, vocab, cfg, model = _setup("tied_softmax")
+    b0 = _to_device(next(ds.train_batches(8, seed=0)))
+    params = model.init({"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"])
+    export_dir = ckpt_lib.export_serving(
+        str(tmp_path / "export"), jax.device_get(params), cfg, {"items": vocab}
+    )
+    served = ServingModel(export_dir)
+    recs = served.recommend([["item_0", "item_1"], ["item_5"]], k=5)
+    assert len(recs) == 2 and len(recs[0]) == 5
+    names = [n for n, _ in recs[0]]
+    assert all(n.startswith("item_") for n in names)
+    # scores are log-probs, descending
+    scores = [s for _, s in recs[0]]
+    assert scores == sorted(scores, reverse=True)
