@@ -20,6 +20,9 @@ import json
 import time
 
 import jax
+
+# Hardware RNG for dropout: threefry costs ~2.4 ms/step (21%) at this config.
+jax.config.update("jax_default_prng_impl", "rbg")
 import jax.numpy as jnp
 
 from bert4clickpath_tpu import (
@@ -49,10 +52,13 @@ STEPS = 100
 
 
 def main():
+    from bert4clickpath_tpu.parallel.spmd import padded_vocab_rows
+
     gen = ClickStreamGenerator(n_items=N_ITEMS, session_cohesiveness=200, seed=0)
     vocab = gen.item_vocab()
     cfg = ModelConfig(
-        features={"items": FeatureConfig(vocab.model_vocab_size, 256)},
+        # rows padded to the fused-CE kernel's vocab tile
+        features={"items": FeatureConfig(padded_vocab_rows(vocab.model_vocab_size, 1024), 256)},
         num_layers=4,
         num_heads=4,
         ffn_dim=1024,
@@ -85,7 +91,12 @@ def main():
     )
     tx = make_optimizer(tcfg)
     state = TrainState.create(params, tx)
-    step = make_train_step(model, tx, schedules.constant(1e-3))
+    step = make_train_step(
+        model,
+        tx,
+        schedules.constant(1e-3),
+        fused_ce_num_valid=vocab.label_vocab_size,
+    )
     rng = jax.random.PRNGKey(1)
 
     import numpy as np

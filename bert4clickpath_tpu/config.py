@@ -150,6 +150,11 @@ class TrainConfig:
     early_stopping_patience: int = 30  # epochs (reference main.py:156)
     plateau_patience: int = 10  # epochs (reference main.py:134)
     plateau_factor: float = 0.317
+    # What drives best-ckpt / plateau / early-stop. The reference monitored
+    # val_loss (main.py:134,141,156), but full-softmax CE diverges while
+    # ranking metrics still improve — for metric runs monitor the metric.
+    monitor: str = "val_loss"
+    monitor_mode: str = "min"  # "min" | "max"
     seed: int = 0
     log_every: int = 50  # steps
     remat: bool = False  # jax.checkpoint the encoder layers

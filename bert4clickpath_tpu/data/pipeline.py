@@ -39,6 +39,7 @@ class ClozeDataset:
         feature_name: str = "items",
         process_index: int = 0,
         process_count: int = 1,
+        backend: str = "auto",  # auto | numpy | native
     ):
         if process_count > 1:
             sequences = list(sequences[process_index::process_count])
@@ -49,6 +50,27 @@ class ClozeDataset:
         self.max_items = max_items
         self.max_masked = max_masked
         self.feature_name = feature_name
+        self._packed = None
+        if backend == "auto":
+            from bert4clickpath_tpu.data import native
+
+            backend = (
+                "native"
+                if max_items <= native.MAX_ITEMS_NATIVE and native.available()
+                else "numpy"
+            )
+        self.backend = backend
+
+    def _packed_arrays(self):
+        if self._packed is None:
+            from bert4clickpath_tpu.data.etl import pack_ragged
+
+            p = pack_ragged(self.sequences)
+            self._packed = (
+                np.ascontiguousarray(p["values"], np.int32),
+                np.ascontiguousarray(p["offsets"], np.int64),
+            )
+        return self._packed
 
     def __len__(self) -> int:
         return len(self.sequences)
@@ -68,17 +90,39 @@ class ClozeDataset:
                 f"per-host batch {per_host_batch} exceeds dataset size {n}; "
                 "the stream would yield nothing"
             )
+        use_native = self.backend == "native"
+        if use_native:
+            from bert4clickpath_tpu.data.native import native_train_batch
+
+            values, offsets = self._packed_arrays()
+        counter = 0
         while True:
             order = rng.permutation(n)
             for start in range(0, n - per_host_batch + 1, per_host_batch):
                 idx = order[start : start + per_host_batch]
-                yield make_train_batch(
-                    [self.sequences[i] for i in idx],
-                    rng,
-                    self.max_items,
-                    self.max_masked,
-                    feature_name=self.feature_name,
-                )
+                if use_native:
+                    from bert4clickpath_tpu.constants import MASKED_PERCENTAGE
+
+                    tokens, positions, labels = native_train_batch(
+                        values,
+                        offsets,
+                        np.ascontiguousarray(idx, np.int64),
+                        self.max_items,
+                        self.max_masked,
+                        MASKED_PERCENTAGE,
+                        seed,
+                        counter,
+                    )
+                    counter += 1
+                    yield ClozeBatch({self.feature_name: tokens}, positions, labels)
+                else:
+                    yield make_train_batch(
+                        [self.sequences[i] for i in idx],
+                        rng,
+                        self.max_items,
+                        self.max_masked,
+                        feature_name=self.feature_name,
+                    )
 
     def eval_batches(
         self, per_host_batch: int, limit_batches: Optional[int] = None
@@ -86,12 +130,27 @@ class ClozeDataset:
         """One deterministic pass; final short batch padded to static shape."""
         n = len(self.sequences)
         count = 0
+        use_native = self.backend == "native"
+        if use_native:
+            from bert4clickpath_tpu.data.native import native_eval_batch
+
+            values, offsets = self._packed_arrays()
         for start in range(0, n, per_host_batch):
             if limit_batches is not None and count >= limit_batches:
                 return
-            chunk = self.sequences[start : start + per_host_batch]
-            batch = make_eval_batch(
-                chunk, self.max_items, self.max_masked, feature_name=self.feature_name
-            )
+            if use_native:
+                idx = np.arange(start, min(start + per_host_batch, n), dtype=np.int64)
+                tokens, positions, labels = native_eval_batch(
+                    values, offsets, idx, self.max_items, self.max_masked
+                )
+                batch = ClozeBatch({self.feature_name: tokens}, positions, labels)
+            else:
+                chunk = self.sequences[start : start + per_host_batch]
+                batch = make_eval_batch(
+                    chunk,
+                    self.max_items,
+                    self.max_masked,
+                    feature_name=self.feature_name,
+                )
             yield pad_batch(batch, per_host_batch)
             count += 1

@@ -108,6 +108,31 @@ class ClickstreamModel(nn.Module):
         embedded = embedded + pos.astype(self._dtype)[None]
         return self.encoder(embedded, bias, deterministic)
 
+    def gather_head_inputs(
+        self,
+        features: dict[str, jnp.ndarray],
+        head_positions: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Encode and gather the routed positions WITHOUT applying the head.
+
+        (B, P, d_model) f32 — the input the fused Pallas tied-projection CE
+        kernel consumes (ops/pallas/fused_ce.py), so the (B, P, V) logits
+        never materialize. Use via ``model.apply(..., method='gather_head_inputs')``.
+        """
+        cfg = self.config
+        h = self.encode(features, deterministic)
+        if cfg.routing == "mask":
+            if head_positions is None:
+                raise ValueError("routing='mask' requires head_positions")
+            gathered = jnp.take_along_axis(
+                h, head_positions[..., None].astype(jnp.int32), axis=1
+            )
+        else:
+            start, end = cfg.segment_bounds
+            gathered = h[:, start:end]
+        return gathered.astype(jnp.float32)
+
     def __call__(
         self,
         features: dict[str, jnp.ndarray],

@@ -1,0 +1,316 @@
+"""Fused tied-projection softmax cross-entropy (Pallas TPU kernel).
+
+The single hottest op in this framework: the tied output projection
+``logits = x @ E^T`` over the full catalog followed by softmax CE. The XLA
+path materializes a ``(B*P, V)`` f32 logits tensor in HBM — 558 MB at
+Beauty scale (B=256, P=10, V≈54.5k), ~4 GB at the 10M-item stress config —
+and reads it back for the softmax and again for the backward. This kernel
+streams the projection table through VMEM in vocab tiles with an online
+(flash-attention-style) max/sum-exp, so HBM traffic drops from
+O(N·V) to O(V·D + N·D):
+
+  forward:  per (row-tile i, vocab-tile j):  s = x_i @ W_j^T  (MXU, f32 acc)
+            m, l carried online; label logit picked via a one-hot dot.
+  backward: recompute s, form A = dnll * (softmax - onehot), accumulate
+            dx_i += A @ W_j and emit dW_j = A^T @ x_i   (custom VJP).
+
+Row blinding: tied tables hold model-space rows (reserved tokens, OOV,
+divisibility padding). Rows outside [row_offset, row_offset+num_valid) get
+-1e30 before the online max, exactly like the sharded CE
+(parallel/embedding.py) — model-space CE == label-space CE.
+
+Interface (pure function, differentiable wrt x and table):
+    nll = fused_softmax_ce(x, table, labels, row_offset, num_valid)
+with x (N, D), table (V, D), labels (N,) label-space ids (may be LABEL_PAD;
+those rows get nll=0), nll (N,) f32. Masked-mean reduction stays outside —
+it is O(N).
+
+On non-TPU backends the same ``pallas_call``s run in interpreter mode, which
+keeps CPU tests honest against the dense oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bert4clickpath_tpu.constants import LABEL_PAD
+
+NEG_BIG = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _row_tile(n: int) -> int:
+    for t in (512, 256, 128, 64, 32, 16, 8):
+        if n % t == 0:
+            return t
+    return n
+
+
+def _vocab_tile(v: int) -> int:
+    # 1024 keeps the (Tn, Tv) f32 score tile + double-buffered w tiles under
+    # the 16MB VMEM budget with Tn=512.
+    for t in (1024, 512, 256, 128):
+        if v % t == 0:
+            return t
+    return v
+
+
+# -- forward kernel -------------------------------------------------------
+
+
+def _fwd_kernel(
+    x_ref,  # (Tn, D)
+    w_ref,  # (Tv, D)
+    lab_ref,  # (Tn, 1) int32 model-space labels (pad rows carry 0)
+    m_ref,  # (Tn, 1) out: running max
+    l_ref,  # (Tn, 1) out: running sumexp
+    g_ref,  # (Tn, 1) out: label logit
+    *,
+    tv: int,
+    row_offset: int,
+    num_valid: int,
+):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_BIG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+    x = x_ref[:]
+    w = w_ref[:].astype(x.dtype)  # keep the MXU in the compute dtype
+    s = jax.lax.dot_general(
+        x,
+        w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Tn, Tv)
+
+    rows = j * tv + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+    # Boundary tiles (containing reserved/OOV/padding rows) need blinding;
+    # interior tiles skip the whole mask computation on the VPU.
+    interior = (j * tv >= row_offset) & ((j + 1) * tv <= row_offset + num_valid)
+    s = jax.lax.cond(
+        interior,
+        lambda s: s,
+        lambda s: jnp.where(
+            (rows >= row_offset) & (rows < row_offset + num_valid), s, NEG_BIG
+        ),
+        s,
+    )
+
+    # online max / sumexp
+    m_prev = m_ref[:]  # (Tn, 1)
+    m_tile = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_tile)
+    l_ref[:] = l_ref[:] * jnp.exp(m_prev - m_new) + jnp.sum(
+        jnp.exp(s - m_new), axis=1, keepdims=True
+    )
+    m_ref[:] = m_new
+
+    # label logit: one-hot pick within this tile
+    lab = lab_ref[:]  # (Tn, 1) model-space
+    onehot = (rows == lab).astype(jnp.float32)
+    g_ref[:] = g_ref[:] + jnp.sum(s * onehot, axis=1, keepdims=True)
+
+
+def _fwd(x, table, labels_model, row_offset, num_valid):
+    n, d = x.shape
+    v = table.shape[0]
+    tn, tv = _row_tile(n), _vocab_tile(v)
+    grid = (n // tn, v // tv)
+    kernel = functools.partial(
+        _fwd_kernel, tv=tv, row_offset=row_offset, num_valid=num_valid
+    )
+    out_shape = [jax.ShapeDtypeStruct((n, 1), jnp.float32)] * 3
+    m, l, g = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tv, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        * 3,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(x, table, labels_model)
+    logz = m[:, 0] + jnp.log(l[:, 0])
+    return logz, g[:, 0]
+
+
+# -- backward kernel ------------------------------------------------------
+
+
+def _softmax_adjoint(x, w, lab, logz, dnll, j, tv, row_offset, num_valid):
+    """Recompute the tile's A = dnll * (softmax - onehot) on the MXU/VPU."""
+    s = jax.lax.dot_general(
+        x,
+        w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rows = j * tv + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+    interior = (j * tv >= row_offset) & ((j + 1) * tv <= row_offset + num_valid)
+    s = jax.lax.cond(
+        interior,
+        lambda s: s,
+        lambda s: jnp.where(
+            (rows >= row_offset) & (rows < row_offset + num_valid), s, NEG_BIG
+        ),
+        s,
+    )
+    p = jnp.exp(s - logz)  # blinded rows -> exp(-huge) = 0
+    onehot = (rows == lab).astype(jnp.float32)
+    return dnll * (p - onehot)
+
+
+def _bwd_dx_kernel(
+    x_ref, w_ref, lab_ref, logz_ref, dnll_ref, dx_ref, *, tv, row_offset, num_valid
+):
+    # grid (i, j), j inner: dx block i revisited consecutively -> accumulate
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    w = w_ref[:].astype(x_ref.dtype)
+    a = _softmax_adjoint(
+        x_ref[:], w, lab_ref[:], logz_ref[:], dnll_ref[:], j, tv,
+        row_offset, num_valid,
+    )
+    dx_ref[:] += jax.lax.dot_general(
+        a.astype(x_ref.dtype), w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dx_ref.dtype)
+
+
+def _bwd_dw_kernel(
+    x_ref, w_ref, lab_ref, logz_ref, dnll_ref, dw_ref, *, tv, row_offset, num_valid
+):
+    # grid (j, i), i inner: dw block j revisited consecutively -> accumulate
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    x = x_ref[:]
+    a = _softmax_adjoint(
+        x, w_ref[:].astype(x.dtype), lab_ref[:], logz_ref[:], dnll_ref[:], j, tv,
+        row_offset, num_valid,
+    )
+    dw_ref[:] += jax.lax.dot_general(
+        a.astype(x.dtype), x, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dw_ref.dtype)
+
+
+def _bwd(x, table, labels_model, logz, dnll, row_offset, num_valid):
+    n, d = x.shape
+    v = table.shape[0]
+    tn, tv = _row_tile(n), _vocab_tile(v)
+    common = dict(tv=tv, row_offset=row_offset, num_valid=num_valid)
+    row_specs = [
+        pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tv, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    dx = pl.pallas_call(
+        functools.partial(_bwd_dx_kernel, **common),
+        grid=(n // tn, v // tv),
+        in_specs=row_specs,
+        out_specs=pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d), x.dtype),
+        interpret=_interpret(),
+    )(x, table, labels_model, logz[:, None], dnll[:, None])
+    # second kernel: swap grid order so dW's accumulation axis is inner
+    col_specs = [
+        pl.BlockSpec((tn, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tv, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    dw = pl.pallas_call(
+        functools.partial(_bwd_dw_kernel, **common),
+        grid=(v // tv, n // tn),
+        in_specs=col_specs,
+        out_specs=pl.BlockSpec((tv, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((v, d), table.dtype),
+        interpret=_interpret(),
+    )(x, table, labels_model, logz[:, None], dnll[:, None])
+    return dx, dw
+
+
+# -- public custom-vjp op -------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_softmax_ce(x, table, labels, row_offset: int, num_valid: int):
+    """Per-row NLL of ``labels`` under softmax(x @ table^T) with row blinding.
+
+    x: (N, D); table: (V, D); labels: (N,) label-space int32, LABEL_PAD
+    allowed (those rows return 0). Returns nll (N,) f32.
+    """
+    nll, _ = _fused_fwd(x, table, labels, row_offset, num_valid)
+    return nll
+
+
+def _labels_model(labels, row_offset):
+    # pad rows -> an impossible row id so the one-hot never fires
+    return jnp.where(labels == LABEL_PAD, -1, labels + row_offset)[:, None].astype(
+        jnp.int32
+    )
+
+
+def _fused_fwd(x, table, labels, row_offset, num_valid):
+    lab = _labels_model(labels, row_offset)
+    logz, label_logit = _fwd(x, table, lab, row_offset, num_valid)
+    mask = (labels != LABEL_PAD).astype(jnp.float32)
+    nll = (logz - label_logit) * mask
+    return nll, (x, table, labels, logz)
+
+
+def _fused_bwd(row_offset, num_valid, res, g):
+    x, table, labels, logz = res
+    mask = (labels != LABEL_PAD).astype(jnp.float32)
+    dnll = (g * mask).astype(jnp.float32)
+    lab = _labels_model(labels, row_offset)
+    dx, dw = _bwd(x, table, lab, logz, dnll, row_offset, num_valid)
+    return dx, dw, None
+
+
+fused_softmax_ce.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_masked_softmax_cross_entropy(
+    x: jnp.ndarray,  # (B, P, D)
+    table: jnp.ndarray,  # (V, D) model-space rows
+    labels: jnp.ndarray,  # (B, P) label-space, LABEL_PAD padded
+    row_offset: int,
+    num_valid: int,
+) -> jnp.ndarray:
+    """Drop-in masked-mean CE on top of the fused kernel."""
+    b, p, d = x.shape
+    nll = fused_softmax_ce(
+        x.reshape(b * p, d), table, labels.reshape(-1), row_offset, num_valid
+    )
+    mask = (labels.reshape(-1) != LABEL_PAD).astype(jnp.float32)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(mask), 1.0)

@@ -69,18 +69,52 @@ def make_train_step(
     loss_fn: Optional[Callable] = None,
     axis_name: Optional[str] = None,
     donate: bool = True,
+    fused_ce_num_valid: Optional[int] = None,
 ):
     """Returns jitted ``(state, batch, rng) -> (state, loss)``.
 
     batch: {'features': {...}, 'head_positions': (B,P), 'labels': (B,P)}.
     Under pjit, pass ``axis_name='data'`` so loss normalization psums.
+
+    fused_ce_num_valid: for the tied_softmax head, route the loss through the
+    Pallas fused tied-projection CE kernel (ops/pallas/fused_ce.py) instead
+    of dense logits; pass the raw label vocabulary size V. Requires the item
+    table rows to be a multiple of the kernel's vocab tile (pad via
+    parallel.spmd.padded_vocab_rows-style rounding).
     """
     loss_fn = loss_fn or loss_for_head(model.config.head.kind)
+    use_fused = (
+        fused_ce_num_valid is not None and model.config.head.kind == "tied_softmax"
+    )
+    if use_fused:
+        from bert4clickpath_tpu.constants import NUM_RESERVED_TOKENS
+        from bert4clickpath_tpu.ops.pallas.fused_ce import (
+            fused_masked_softmax_cross_entropy,
+        )
 
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
 
         def compute_loss(params):
+            if use_fused:
+                gathered = model.apply(
+                    params,
+                    batch["features"],
+                    batch.get("head_positions"),
+                    deterministic=False,
+                    rngs={"dropout": rng},
+                    method="gather_head_inputs",
+                )
+                table = params["params"][f"embed_{model.config.item_feature}"][
+                    "embedding"
+                ]
+                return fused_masked_softmax_cross_entropy(
+                    gathered,
+                    table,
+                    batch["labels"],
+                    NUM_RESERVED_TOKENS,
+                    fused_ce_num_valid,
+                )
             logits = model.apply(
                 params,
                 batch["features"],

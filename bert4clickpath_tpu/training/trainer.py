@@ -97,6 +97,7 @@ class Trainer:
     ) -> TrainState:
         cfg = self.cfg
         n_epochs = n_epochs if n_epochs is not None else cfg.n_epochs
+        sign = 1.0 if cfg.monitor_mode == "min" else -1.0
         best_val = math.inf
         epochs_since_best = 0
         epochs_since_plateau_cut = 0
@@ -125,9 +126,9 @@ class Trainer:
                     record[f"val_{k}"] = float(v)
             self._log(record)
 
-            val_loss = record["val_loss"]
-            if val_loss < best_val:
-                best_val = val_loss
+            monitored = sign * record.get(cfg.monitor, record["val_loss"])
+            if monitored < best_val:
+                best_val = monitored
                 epochs_since_best = 0
                 epochs_since_plateau_cut = 0
                 if self.model_dir and self.is_host0:

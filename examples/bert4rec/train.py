@@ -1,0 +1,179 @@
+"""BERT4Rec-on-Amazon-Beauty training driver.
+
+TPU-native counterpart of the reference's example app
+(examples/BERT4Rec/source/main.py): leave-one-out Cloze training over
+beauty.txt with recall@k / NDCG@k eval against the full catalog.
+
+Two model presets:
+* ``--preset parity`` — the reference configuration (source/main.py:186-263):
+  2 layers, 2 heads, d_model 64, ffn 100, dropout 0.1, MLP softmax head
+  [1024,512,256,128], Adam 1e-3, sinusoidal positions.
+* ``--preset tpu`` — the TPU-native flagship: 4L/256d bf16, learned
+  positions, tied-weight softmax head (BASELINE.json configs[1]).
+
+Usage:
+  python examples/bert4rec/train.py --data /root/reference/examples/BERT4Rec/raw_data/beauty.txt \
+      --model_dir /tmp/run1 --preset parity --epochs 200
+  python examples/bert4rec/train.py --simulated --n_items 1000 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+jax.config.update("jax_default_prng_impl", "rbg")  # threefry dropout costs ~20% step time
+import jax.numpy as jnp
+import numpy as np
+
+from bert4clickpath_tpu import (
+    ClickstreamModel,
+    FeatureConfig,
+    HeadConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from bert4clickpath_tpu.data.beauty import load_beauty
+from bert4clickpath_tpu.data.generator import ClickStreamGenerator
+from bert4clickpath_tpu.data.pipeline import ClozeDataset
+from bert4clickpath_tpu.training import checkpoint as ckpt_lib
+from bert4clickpath_tpu.training import schedules
+from bert4clickpath_tpu.training.train_state import (
+    TrainState,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from bert4clickpath_tpu.training.trainer import Trainer
+
+
+def build_model_config(preset: str, vocab, args) -> ModelConfig:
+    if preset == "parity":
+        return ModelConfig(
+            features={"items": FeatureConfig(vocab.model_vocab_size, 64)},
+            num_layers=2,
+            num_heads=2,
+            ffn_dim=100,
+            dropout_rate=0.1,
+            max_len=args.max_items + 3,
+            positional="sinusoidal",
+            head=HeadConfig("softmax", (1024, 512, 256, 128), vocab.label_vocab_size),
+            dtype="float32",
+        )
+    if preset == "tpu":
+        return ModelConfig(
+            features={"items": FeatureConfig(vocab.model_vocab_size, args.d_model)},
+            num_layers=args.layers,
+            num_heads=args.heads,
+            ffn_dim=4 * args.d_model,
+            dropout_rate=args.dropout,
+            max_len=args.max_items + 3,
+            positional="learned",
+            head=HeadConfig("tied_softmax"),
+            dtype="bfloat16",
+        )
+    raise ValueError(preset)
+
+
+def to_device(batch):
+    return {
+        "features": {k: jnp.asarray(v) for k, v in batch.features.items()},
+        "head_positions": jnp.asarray(batch.head_positions),
+        "labels": jnp.asarray(batch.labels),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", default="/root/reference/examples/BERT4Rec/raw_data/beauty.txt")
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--preset", choices=["parity", "tpu"], default="parity")
+    p.add_argument("--simulated", action="store_true")
+    p.add_argument("--n_items", type=int, default=1000)
+    p.add_argument("--n_sessions", type=int, default=20000)
+    p.add_argument("--max_items", type=int, default=50)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=400)
+    p.add_argument("--steps_per_epoch", type=int, default=0, help="0 = one full pass")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--d_model", type=int, default=256)
+    p.add_argument("--layers", type=int, default=4)
+    p.add_argument("--heads", type=int, default=4)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval_batches", type=int, default=0, help="0 = full eval")
+    p.add_argument("--init_ckpt", default=None, help="warm-start params path")
+    p.add_argument("--monitor", default="val_loss")
+    p.add_argument("--monitor_mode", default="min", choices=["min", "max"])
+    p.add_argument("--patience", type=int, default=30)
+    args = p.parse_args(argv)
+
+    if args.simulated:
+        gen = ClickStreamGenerator(
+            n_items=args.n_items, session_cohesiveness=200, seed=args.seed
+        )
+        sequences, _ = gen.generate_sessions(args.n_sessions)
+        vocab = gen.item_vocab()
+    else:
+        sequences, vocab = load_beauty(args.data, max_seq_len=args.max_items)
+    print(f"sequences={len(sequences)} items={vocab.size}", flush=True)
+
+    ds = ClozeDataset(sequences, vocab, max_items=args.max_items)
+    cfg = build_model_config(args.preset, vocab, args)
+    steps_per_epoch = args.steps_per_epoch or max(1, len(ds) // args.batch)
+    tcfg = TrainConfig(
+        batch_size=args.batch,
+        learning_rate=args.lr,
+        n_epochs=args.epochs,
+        steps_per_epoch=steps_per_epoch,
+        validation_steps=args.eval_batches,
+        seed=args.seed,
+        monitor=args.monitor,
+        monitor_mode=args.monitor_mode,
+        early_stopping_patience=args.patience,
+    )
+
+    model = ClickstreamModel(cfg)
+    b0 = to_device(next(ds.train_batches(args.batch, seed=args.seed)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(args.seed)}, b0["features"], b0["head_positions"]
+    )
+    if args.init_ckpt:
+        params = ckpt_lib.restore_encoder(args.init_ckpt, jax.device_get(params))
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"model={args.preset} d_model={cfg.d_model} params={n_params:,}", flush=True)
+
+    tx = make_optimizer(tcfg)
+    state = TrainState.create(params, tx)
+    train_step = make_train_step(model, tx, schedules.constant(tcfg.learning_rate))
+    eval_step = make_eval_step(model, ks=(5, 10))
+
+    def export_fn(best_params):
+        ckpt_lib.export_serving(
+            os.path.join(args.model_dir, "export"), best_params, cfg, {"items": vocab}
+        )
+
+    trainer = Trainer(
+        train_step,
+        eval_step,
+        tcfg,
+        model_dir=args.model_dir,
+        to_device=to_device,
+        export_fn=export_fn,
+    )
+    eval_limit = args.eval_batches or None
+    state = trainer.fit(
+        state,
+        ds.train_batches(args.batch, seed=args.seed + 1),
+        lambda: ds.eval_batches(args.batch, limit_batches=eval_limit),
+        jax.random.PRNGKey(args.seed + 2),
+    )
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Fused Pallas CE kernel vs the dense oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bert4clickpath_tpu.constants import LABEL_PAD, NUM_RESERVED_TOKENS
+from bert4clickpath_tpu.ops.losses import masked_softmax_cross_entropy
+from bert4clickpath_tpu.ops.pallas.fused_ce import (
+    fused_masked_softmax_cross_entropy,
+    fused_softmax_ce,
+)
+
+
+def _case(n=16, d=8, v=64, num_valid=40, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    table = rng.normal(size=(v, d)).astype(np.float32)
+    labels = rng.integers(0, num_valid, size=(n,)).astype(np.int32)
+    labels[::5] = LABEL_PAD
+    return jnp.asarray(x), jnp.asarray(table), jnp.asarray(labels)
+
+
+def _dense_nll(x, table, labels, num_valid):
+    logits = x @ table[NUM_RESERVED_TOKENS : NUM_RESERVED_TOKENS + num_valid].T
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    safe = jnp.where(labels == LABEL_PAD, 0, labels)
+    picked = jnp.take_along_axis(logits, safe[:, None], axis=1)[:, 0]
+    mask = (labels != LABEL_PAD).astype(jnp.float32)
+    return (logz - picked) * mask
+
+
+def test_forward_matches_dense():
+    x, table, labels = _case()
+    nll = fused_softmax_ce(x, table, labels, NUM_RESERVED_TOKENS, 40)
+    want = _dense_nll(x, table, labels, 40)
+    np.testing.assert_allclose(np.asarray(nll), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_forward_all_pad_rows_zero():
+    x, table, labels = _case()
+    labels = jnp.full_like(labels, LABEL_PAD)
+    nll = fused_softmax_ce(x, table, labels, NUM_RESERVED_TOKENS, 40)
+    np.testing.assert_array_equal(np.asarray(nll), 0.0)
+
+
+def test_gradients_match_dense():
+    x, table, labels = _case()
+
+    def fused_loss(x, t):
+        nll = fused_softmax_ce(x, t, labels, NUM_RESERVED_TOKENS, 40)
+        return jnp.sum(nll) / jnp.maximum(
+            jnp.sum((labels != LABEL_PAD).astype(jnp.float32)), 1.0
+        )
+
+    def dense_loss(x, t):
+        nll = _dense_nll(x, t, labels, 40)
+        return jnp.sum(nll) / jnp.maximum(
+            jnp.sum((labels != LABEL_PAD).astype(jnp.float32)), 1.0
+        )
+
+    (lf, (gx_f, gt_f)) = jax.value_and_grad(fused_loss, argnums=(0, 1))(x, table)
+    (ld, (gx_d, gt_d)) = jax.value_and_grad(dense_loss, argnums=(0, 1))(x, table)
+    np.testing.assert_allclose(float(lf), float(ld), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_d), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_d), rtol=1e-4, atol=1e-6)
+    # blinded rows (reserved/OOV/padding) must receive zero table grad
+    blinded = np.ones(table.shape[0], bool)
+    blinded[NUM_RESERVED_TOKENS : NUM_RESERVED_TOKENS + 40] = False
+    np.testing.assert_array_equal(np.asarray(gt_f)[blinded], 0.0)
+
+
+def test_wrapper_matches_masked_ce():
+    x, table, labels = _case(n=24)
+    xb = x.reshape(8, 3, -1)
+    lb = labels.reshape(8, 3)
+    got = fused_masked_softmax_cross_entropy(xb, table, lb, NUM_RESERVED_TOKENS, 40)
+    dense_logits = jnp.einsum(
+        "bpd,vd->bpv", xb, table[NUM_RESERVED_TOKENS : NUM_RESERVED_TOKENS + 40]
+    )
+    want = masked_softmax_cross_entropy(dense_logits, lb)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_uneven_tiles():
+    # n=8 (one tile), v=128 with valid range crossing a tile boundary
+    x, table, labels = _case(n=8, d=16, v=256, num_valid=100, seed=3)
+    nll = fused_softmax_ce(x, table, labels, NUM_RESERVED_TOKENS, 100)
+    want = _dense_nll(x, table, labels, 100)
+    np.testing.assert_allclose(np.asarray(nll), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_inputs():
+    x, table, labels = _case()
+    nll = fused_softmax_ce(
+        x.astype(jnp.bfloat16), table, labels, NUM_RESERVED_TOKENS, 40
+    )
+    want = _dense_nll(x.astype(jnp.bfloat16).astype(jnp.float32), table, labels, 40)
+    np.testing.assert_allclose(np.asarray(nll), np.asarray(want), rtol=5e-2, atol=1e-2)
