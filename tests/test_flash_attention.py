@@ -1,0 +1,115 @@
+"""Pallas flash attention vs the jnp reference path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bert4clickpath_tpu.models.encoder import scaled_dot_product_attention
+from bert4clickpath_tpu.ops.masking import padding_bias
+from bert4clickpath_tpu.ops.pallas.attention import flash_attention
+
+
+def _case(b=2, h=2, l=16, dh=8, n_pad=5, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(b, h, l, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, l, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, l, dh)), jnp.float32)
+    tokens = np.ones((b, l), np.int32)
+    tokens[:, l - n_pad :] = 0  # PAD
+    bias = padding_bias(jnp.asarray(tokens))
+    return q, k, v, bias
+
+
+def test_forward_matches_reference():
+    q, k, v, bias = _case()
+    got = flash_attention(q, k, v, bias)
+    want = scaled_dot_product_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_forward_multiblock():
+    # L=32 with block 16 exercises the online-softmax recurrence
+    import bert4clickpath_tpu.ops.pallas.attention as A
+
+    orig = A._block
+    A._block = lambda l, target=128: 16
+    try:
+        q, k, v, bias = _case(l=32, n_pad=9)
+        got = flash_attention(q, k, v, bias)
+        want = scaled_dot_product_attention(q, k, v, bias)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+    finally:
+        A._block = orig
+
+
+def test_gradients_match_reference():
+    q, k, v, bias = _case()
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, bias) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(scaled_dot_product_attention(q, k, v, bias) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_gradients_multiblock():
+    import bert4clickpath_tpu.ops.pallas.attention as A
+
+    orig = A._block
+    A._block = lambda l, target=128: 8
+    try:
+        q, k, v, bias = _case(l=16, n_pad=3, seed=4)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, bias) * jnp.cos(q[..., :1]))
+
+        def loss_ref(q, k, v):
+            return jnp.sum(
+                scaled_dot_product_attention(q, k, v, bias) * jnp.cos(q[..., :1])
+            )
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            )
+    finally:
+        A._block = orig
+
+
+def test_model_with_pallas_attention():
+    """attn_impl='pallas' end to end through the encoder (interpret mode)."""
+    from bert4clickpath_tpu import ClickstreamModel, FeatureConfig, HeadConfig, ModelConfig
+    from bert4clickpath_tpu.constants import CLS_ID, SEP_ID
+
+    cfg = ModelConfig(
+        features={"items": FeatureConfig(51, 16)},
+        num_layers=1,
+        num_heads=2,
+        ffn_dim=32,
+        max_len=16,
+        head=HeadConfig("tied_softmax"),
+        max_masked=4,
+    )
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(10, 50, size=(2, 16)).astype(np.int32)
+    tokens[:, 0] = CLS_ID
+    tokens[:, 1] = SEP_ID
+    tokens[:, -1] = SEP_ID
+    feats = {"items": jnp.asarray(tokens)}
+    pos = jnp.asarray(np.tile(np.array([2, 3, 4, 5], np.int32), (2, 1)))
+    ref_model = ClickstreamModel(cfg, attn_impl="xla")
+    pl_model = ClickstreamModel(cfg, attn_impl="pallas")
+    params = ref_model.init(jax.random.PRNGKey(0), feats, pos)
+    a = ref_model.apply(params, feats, pos)
+    b = pl_model.apply(params, feats, pos)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
