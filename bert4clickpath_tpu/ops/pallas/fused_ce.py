@@ -67,9 +67,10 @@ def _vocab_tile(v: int) -> int:
 
 
 def _fwd_kernel(
+    row_start_ref,  # (1, 1) SMEM: global row id of this table's first row
     x_ref,  # (Tn, D)
     w_ref,  # (Tv, D)
-    lab_ref,  # (Tn, 1) int32 model-space labels (pad rows carry 0)
+    lab_ref,  # (Tn, 1) int32 global model-space labels (pad rows carry -1)
     m_ref,  # (Tn, 1) out: running max
     l_ref,  # (Tn, 1) out: running sumexp
     g_ref,  # (Tn, 1) out: label logit
@@ -79,6 +80,7 @@ def _fwd_kernel(
     num_valid: int,
 ):
     j = pl.program_id(1)
+    row_start = row_start_ref[0, 0]
 
     @pl.when(j == 0)
     def _init():
@@ -95,10 +97,11 @@ def _fwd_kernel(
         preferred_element_type=jnp.float32,
     )  # (Tn, Tv)
 
-    rows = j * tv + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+    tile0 = row_start + j * tv
+    rows = tile0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
     # Boundary tiles (containing reserved/OOV/padding rows) need blinding;
     # interior tiles skip the whole mask computation on the VPU.
-    interior = (j * tv >= row_offset) & ((j + 1) * tv <= row_offset + num_valid)
+    interior = (tile0 >= row_offset) & (tile0 + tv <= row_offset + num_valid)
     s = jax.lax.cond(
         interior,
         lambda s: s,
@@ -123,7 +126,12 @@ def _fwd_kernel(
     g_ref[:] = g_ref[:] + jnp.sum(s * onehot, axis=1, keepdims=True)
 
 
-def _fwd(x, table, labels_model, row_offset, num_valid):
+def _fwd_stats(x, table, labels_model, row_start, row_offset, num_valid):
+    """Online (max, sumexp, label-logit) over this table's rows.
+
+    ``row_start`` (traced int32 scalar) is the global row id of
+    ``table[0]`` — 0 single-chip, ``shard_index * V_local`` under shard_map.
+    """
     n, d = x.shape
     v = table.shape[0]
     tn, tv = _row_tile(n), _vocab_tile(v)
@@ -136,6 +144,7 @@ def _fwd(x, table, labels_model, row_offset, num_valid):
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tv, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -146,7 +155,14 @@ def _fwd(x, table, labels_model, row_offset, num_valid):
         * 3,
         out_shape=out_shape,
         interpret=_interpret(),
-    )(x, table, labels_model)
+    )(jnp.reshape(row_start.astype(jnp.int32), (1, 1)), x, table, labels_model)
+    return m, l, g
+
+
+def _fwd(x, table, labels_model, row_offset, num_valid):
+    m, l, g = _fwd_stats(
+        x, table, labels_model, jnp.zeros((), jnp.int32), row_offset, num_valid
+    )
     logz = m[:, 0] + jnp.log(l[:, 0])
     return logz, g[:, 0]
 
@@ -154,7 +170,7 @@ def _fwd(x, table, labels_model, row_offset, num_valid):
 # -- backward kernel ------------------------------------------------------
 
 
-def _softmax_adjoint(x, w, lab, logz, dnll, j, tv, row_offset, num_valid):
+def _softmax_adjoint(x, w, lab, logz, dnll, tile0, tv, row_offset, num_valid):
     """Recompute the tile's A = dnll * (softmax - onehot) on the MXU/VPU."""
     s = jax.lax.dot_general(
         x,
@@ -162,8 +178,8 @@ def _softmax_adjoint(x, w, lab, logz, dnll, j, tv, row_offset, num_valid):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    rows = j * tv + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-    interior = (j * tv >= row_offset) & ((j + 1) * tv <= row_offset + num_valid)
+    rows = tile0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+    interior = (tile0 >= row_offset) & (tile0 + tv <= row_offset + num_valid)
     s = jax.lax.cond(
         interior,
         lambda s: s,
@@ -178,7 +194,8 @@ def _softmax_adjoint(x, w, lab, logz, dnll, j, tv, row_offset, num_valid):
 
 
 def _bwd_dx_kernel(
-    x_ref, w_ref, lab_ref, logz_ref, dnll_ref, dx_ref, *, tv, row_offset, num_valid
+    row_start_ref, x_ref, w_ref, lab_ref, logz_ref, dnll_ref, dx_ref,
+    *, tv, row_offset, num_valid
 ):
     # grid (i, j), j inner: dx block i revisited consecutively -> accumulate
     j = pl.program_id(1)
@@ -189,8 +206,8 @@ def _bwd_dx_kernel(
 
     w = w_ref[:].astype(x_ref.dtype)
     a = _softmax_adjoint(
-        x_ref[:], w, lab_ref[:], logz_ref[:], dnll_ref[:], j, tv,
-        row_offset, num_valid,
+        x_ref[:], w, lab_ref[:], logz_ref[:], dnll_ref[:],
+        row_start_ref[0, 0] + j * tv, tv, row_offset, num_valid,
     )
     dx_ref[:] += jax.lax.dot_general(
         a.astype(x_ref.dtype), w, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -199,7 +216,8 @@ def _bwd_dx_kernel(
 
 
 def _bwd_dw_kernel(
-    x_ref, w_ref, lab_ref, logz_ref, dnll_ref, dw_ref, *, tv, row_offset, num_valid
+    row_start_ref, x_ref, w_ref, lab_ref, logz_ref, dnll_ref, dw_ref,
+    *, tv, row_offset, num_valid
 ):
     # grid (j, i), i inner: dw block j revisited consecutively -> accumulate
     j = pl.program_id(0)
@@ -211,8 +229,8 @@ def _bwd_dw_kernel(
 
     x = x_ref[:]
     a = _softmax_adjoint(
-        x, w_ref[:].astype(x.dtype), lab_ref[:], logz_ref[:], dnll_ref[:], j, tv,
-        row_offset, num_valid,
+        x, w_ref[:].astype(x.dtype), lab_ref[:], logz_ref[:], dnll_ref[:],
+        row_start_ref[0, 0] + j * tv, tv, row_offset, num_valid,
     )
     dw_ref[:] += jax.lax.dot_general(
         a.astype(x.dtype), x, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -220,12 +238,17 @@ def _bwd_dw_kernel(
     ).astype(dw_ref.dtype)
 
 
-def _bwd(x, table, labels_model, logz, dnll, row_offset, num_valid):
+def _bwd(x, table, labels_model, logz, dnll, row_offset, num_valid,
+         row_start=None):
     n, d = x.shape
     v = table.shape[0]
     tn, tv = _row_tile(n), _vocab_tile(v)
+    if row_start is None:
+        row_start = jnp.zeros((), jnp.int32)
+    row_start = jnp.reshape(row_start.astype(jnp.int32), (1, 1))
     common = dict(tv=tv, row_offset=row_offset, num_valid=num_valid)
     row_specs = [
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tv, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -239,9 +262,10 @@ def _bwd(x, table, labels_model, logz, dnll, row_offset, num_valid):
         out_specs=pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, d), x.dtype),
         interpret=_interpret(),
-    )(x, table, labels_model, logz[:, None], dnll[:, None])
+    )(row_start, x, table, labels_model, logz[:, None], dnll[:, None])
     # second kernel: swap grid order so dW's accumulation axis is inner
     col_specs = [
+        pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((tn, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tv, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
@@ -255,7 +279,7 @@ def _bwd(x, table, labels_model, logz, dnll, row_offset, num_valid):
         out_specs=pl.BlockSpec((tv, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((v, d), table.dtype),
         interpret=_interpret(),
-    )(x, table, labels_model, logz[:, None], dnll[:, None])
+    )(row_start, x, table, labels_model, logz[:, None], dnll[:, None])
     return dx, dw
 
 
@@ -314,3 +338,87 @@ def fused_masked_softmax_cross_entropy(
     )
     mask = (labels.reshape(-1) != LABEL_PAD).astype(jnp.float32)
     return jnp.sum(nll) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+# -- sharded variant (inside shard_map) -----------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def sharded_fused_softmax_ce(
+    x,
+    table_shard,
+    labels,
+    row_offset: int,
+    num_valid: int,
+    model_axis: str = "model",
+    data_axis=None,
+):
+    """Vocab-parallel fused CE for use INSIDE ``jax.shard_map``.
+
+    Each ``model``-shard streams its (V_local, D) rows through the fused
+    kernel (so even a 10M-row shard never materializes (N, V_local) logits),
+    then the online stats combine across shards with pmax/psum — the
+    composition of ops/pallas/fused_ce.py with parallel/embedding.py's
+    vocab-parallel scheme. Returns the global masked-mean CE (data-axis
+    normalized when ``data_axis`` is given); gradients flow to x (psum over
+    model) and to the local table shard.
+    """
+    loss, _ = _sharded_fwd(
+        x, table_shard, labels, row_offset, num_valid, model_axis, data_axis
+    )
+    return loss
+
+
+def _shard_row_start(table_shard, model_axis):
+    idx = jax.lax.axis_index(model_axis)
+    return (idx * table_shard.shape[0]).astype(jnp.int32)
+
+
+def _sharded_fwd(x, table_shard, labels, row_offset, num_valid, model_axis, data_axis):
+    b, p, d = x.shape
+    n = b * p
+    xf = x.reshape(n, d)
+    labf = labels.reshape(-1)
+    lab_model = _labels_model(labf, row_offset)
+    row_start = _shard_row_start(table_shard, model_axis)
+    m, l, g = _fwd_stats(xf, table_shard, lab_model, row_start, row_offset, num_valid)
+    gmax = jax.lax.pmax(m, model_axis)  # (n, 1)
+    total = jax.lax.psum(l * jnp.exp(m - gmax), model_axis)
+    logz = (gmax + jnp.log(total))[:, 0]  # (n,)
+    label_logit = jax.lax.psum(g, model_axis)[:, 0]
+    mask = (labf != LABEL_PAD).astype(jnp.float32)
+    total_loss = jnp.sum((logz - label_logit) * mask)
+    count = jnp.sum(mask)
+    if data_axis is not None:
+        total_loss = jax.lax.psum(total_loss, data_axis)
+        count = jax.lax.psum(count, data_axis)
+    count = jnp.maximum(count, 1.0)
+    loss = total_loss / count
+    return loss, (x, table_shard, labels, logz, count)
+
+
+def _sharded_bwd(row_offset, num_valid, model_axis, data_axis, res, gbar):
+    x, table_shard, labels, logz, count = res
+    b, p, d = x.shape
+    n = b * p
+    labf = labels.reshape(-1)
+    mask = (labf != LABEL_PAD).astype(jnp.float32)
+    dnll = (gbar / count) * mask  # (n,) d(loss)/d(nll_i)
+    lab_model = _labels_model(labf, row_offset)
+    row_start = _shard_row_start(table_shard, model_axis)
+    dx, dw = _bwd(
+        x.reshape(n, d),
+        table_shard,
+        lab_model,
+        logz,
+        dnll.astype(jnp.float32),
+        row_offset,
+        num_valid,
+        row_start=row_start,
+    )
+    # each shard's dx covers only its vocab rows' contribution
+    dx = jax.lax.psum(dx, model_axis)
+    return dx.reshape(b, p, d), dw, None
+
+
+sharded_fused_softmax_ce.defvjp(_sharded_fwd, _sharded_bwd)

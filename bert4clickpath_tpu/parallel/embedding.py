@@ -35,6 +35,10 @@ def shard_info(axis_name: str) -> tuple[jnp.ndarray, int]:
     return jax.lax.axis_index(axis_name), jax.lax.axis_size(axis_name)
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def sharded_embedding_lookup(
     table_shard: jnp.ndarray,  # (V_local, D) this device's rows
     ids: jnp.ndarray,  # (...,) global row ids
@@ -42,7 +46,17 @@ def sharded_embedding_lookup(
     compute_dtype=None,
 ) -> jnp.ndarray:
     """Gather global ids from a row-sharded table; returns (..., D) full
-    embeddings on every shard."""
+    embeddings on every shard.
+
+    custom_vjp: autodiffing through ``psum`` inside shard_map (check_vma off)
+    mis-transposes collectives — the backward here is written by hand: the
+    output cotangent is replicated across model shards, and each shard
+    scatter-adds exactly the rows it owns.
+    """
+    return _lookup_fwd_impl(table_shard, ids, axis_name, compute_dtype)
+
+
+def _lookup_fwd_impl(table_shard, ids, axis_name, compute_dtype):
     idx, _ = shard_info(axis_name)
     v_local = table_shard.shape[0]
     local = ids - idx * v_local
@@ -52,6 +66,30 @@ def sharded_embedding_lookup(
         rows = rows.astype(compute_dtype)
     rows = jnp.where(in_range[..., None], rows, jnp.zeros_like(rows))
     return jax.lax.psum(rows, axis_name)
+
+
+def _lookup_fwd(table_shard, ids, axis_name, compute_dtype):
+    out = _lookup_fwd_impl(table_shard, ids, axis_name, compute_dtype)
+    # zero-size carrier for the shard's static shape/dtype (residuals must be
+    # JAX types; referencing the live table would also work but this is free)
+    shard_aval = jnp.zeros((table_shard.shape[0], 0), table_shard.dtype)
+    return out, (shard_aval, ids)
+
+
+def _lookup_bwd(axis_name, compute_dtype, res, g):
+    shard_aval, ids = res
+    v_local, dtype = shard_aval.shape[0], shard_aval.dtype
+    idx, _ = shard_info(axis_name)
+    local = ids - idx * v_local
+    in_range = (local >= 0) & (local < v_local)
+    g = jnp.where(in_range[..., None], g, jnp.zeros_like(g))
+    flat_ids = jnp.clip(local, 0, v_local - 1).reshape(-1)
+    flat_g = g.reshape(-1, g.shape[-1]).astype(dtype)
+    d_table = jnp.zeros((v_local, g.shape[-1]), dtype).at[flat_ids].add(flat_g)
+    return d_table, None
+
+
+sharded_embedding_lookup.defvjp(_lookup_fwd, _lookup_bwd)
 
 
 NEG_BIG = -1e30  # blinds reserved/OOV/padding rows in f32 logits
@@ -99,6 +137,11 @@ def sharded_softmax_cross_entropy(
     ``row_offset``/``num_valid`` handle the tied model-space table (see
     :func:`sharded_logits_local`); labels stay in label space and are shifted
     by ``row_offset`` when locating their owning shard.
+
+    **Forward value only** (eval). Do NOT differentiate through this inside
+    shard_map: with replication checking off, autodiff mis-transposes
+    psum/pmax. The training path is
+    ``ops.pallas.fused_ce.sharded_fused_softmax_ce`` (hand-written VJP).
     """
     idx, _ = shard_info(model_axis)
     v_local = table_shard.shape[0]

@@ -193,18 +193,27 @@ def make_spmd_train_step(
                 raise ValueError(
                     "tied SPMD head requires d_model == item embedding dim"
                 )
-            return emb_ops.sharded_softmax_cross_entropy(
+            # Pallas fused vocab-parallel CE with a hand-written VJP — the
+            # only grad-safe CE inside shard_map (see parallel/embedding.py).
+            from bert4clickpath_tpu.ops.pallas.fused_ce import (
+                sharded_fused_softmax_ce,
+            )
+
+            return sharded_fused_softmax_ce(
                 gathered,
                 table_shard,
                 batch["labels"],
-                model_axis=MODEL_AXIS,
-                data_axis=DATA_AXIS,
-                row_offset=NUM_RESERVED_TOKENS,
-                num_valid=label_vocab_size,
+                NUM_RESERVED_TOKENS,
+                label_vocab_size,
+                MODEL_AXIS,
+                DATA_AXIS,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        grads = jax.lax.pmean(grads, DATA_AXIS)
+        # The loss is already the GLOBAL mean (psum(sum)/psum(count)), so each
+        # data shard's grad is only its batch's share of the full gradient —
+        # psum (not pmean) reassembles d(global loss)/d(params).
+        grads = jax.lax.psum(grads, DATA_AXIS)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         lr = schedule(state.step) * state.lr_scale
         updates = jax.tree.map(lambda u: u * lr, updates)

@@ -126,7 +126,9 @@ def make_train_step(
 
         loss, grads = jax.value_and_grad(compute_loss)(state.params)
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
+            # losses normalize globally (psum sums/counts) when axis_name is
+            # set, so per-shard grads are partial — psum, not pmean
+            grads = jax.lax.psum(grads, axis_name)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         lr = schedule(state.step) * state.lr_scale
         updates = jax.tree.map(lambda u: u * lr, updates)

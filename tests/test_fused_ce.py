@@ -98,3 +98,57 @@ def test_bf16_inputs():
     )
     want = _dense_nll(x.astype(jnp.bfloat16).astype(jnp.float32), table, labels, 40)
     np.testing.assert_allclose(np.asarray(nll), np.asarray(want), rtol=5e-2, atol=1e-2)
+
+
+def test_sharded_fused_matches_dense():
+    """sharded_fused_softmax_ce inside shard_map == dense CE (8-dev mesh)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from bert4clickpath_tpu.config import MeshConfig
+    from bert4clickpath_tpu.ops.pallas.fused_ce import sharded_fused_softmax_ce
+    from bert4clickpath_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    rng = np.random.default_rng(5)
+    v, d, nv = 512, 16, 400  # 128 rows/shard
+    x = jnp.asarray(rng.normal(size=(4, 8, d)), jnp.float32)
+    table = jnp.asarray(rng.normal(size=(v, d)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, nv, size=(4, 8)), jnp.int32)
+    labels = labels.at[0, 3].set(LABEL_PAD)
+
+    def f(x, t, lbl):
+        return sharded_fused_softmax_ce(
+            x, t, lbl, NUM_RESERVED_TOKENS, nv, "model", "data"
+        )
+
+    def mapped(x, t, l):
+        loss, (gx, gt) = jax.value_and_grad(f, argnums=(0, 1))(x, t, l)
+        # dW holds only this data-shard's batch contribution -> psum over
+        # data (what a train step does before the optimizer)
+        return loss, (gx, jax.lax.psum(gt, "data"))
+
+    loss, (gx, gt) = jax.jit(
+        jax.shard_map(
+            mapped,
+            mesh=mesh,
+            in_specs=(P("data", None, None), P("model", None), P("data", None)),
+            out_specs=(P(), (P("data", None, None), P("model", None))),
+            check_vma=False,
+        )
+    )(x, table, labels)
+
+    def dense(x, t):
+        logits = jnp.einsum(
+            "bpd,vd->bpv", x, t[NUM_RESERVED_TOKENS : NUM_RESERVED_TOKENS + nv]
+        )
+        from bert4clickpath_tpu.ops.losses import masked_softmax_cross_entropy
+
+        return masked_softmax_cross_entropy(logits, labels)
+
+    want, (wgx, wgt) = jax.value_and_grad(dense, argnums=(0, 1))(x, table)
+    np.testing.assert_allclose(float(loss), float(want), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(wgx), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(wgt), rtol=1e-4, atol=1e-6)

@@ -229,3 +229,47 @@ def test_spmd_eval_step():
     np.testing.assert_allclose(
         stats["ndcg@10_sum"], float(dense["ndcg@10_sum"]), rtol=1e-5
     )
+
+
+def test_spmd_step_update_matches_manual_single_device():
+    """After the psum-grads fix: one SPMD step must produce the same params
+    as a manually computed single-device global-mean-loss Adam step."""
+    import optax
+
+    mesh, ds, vocab, cfg = _spmd_setup()
+    tcfg = TrainConfig()
+    model = ClickstreamModel(cfg)
+    b = _device_batch(next(ds.train_batches(8, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+    )["params"]
+    tx = make_optimizer(tcfg)
+    lr = 1e-2
+
+    def manual_loss(p):
+        logits = model.apply({"params": p}, b["features"], b["head_positions"])
+        dense = logits[..., : vocab.label_vocab_size]
+        return masked_softmax_cross_entropy(dense, b["labels"])
+
+    grads = jax.grad(manual_loss)(params)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    want = optax.apply_updates(params, jax.tree.map(lambda u: u * lr, updates))
+
+    state = spmd.shard_state(TrainState.create(params, tx), mesh, cfg)
+    step = spmd.make_spmd_train_step(
+        cfg, mesh, tx, schedules.constant(lr), vocab.label_vocab_size
+    )
+    new_state, _ = step(state, spmd.shard_batch(b, mesh, cfg), jax.random.PRNGKey(1))
+    got = jax.device_get(new_state.params)
+
+    def compare(g, a, bb):
+        # wk.bias has a mathematically-zero gradient (a constant key shift
+        # cancels in softmax); Adam turns its 1e-12 float noise into ±lr, so
+        # zero-grad leaves can't be compared through the optimizer.
+        if float(np.abs(np.asarray(g)).max()) < 1e-6:
+            return
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=5e-4, atol=1e-6
+        )
+
+    jax.tree.map(compare, jax.device_get(grads), got, jax.device_get(want))
