@@ -60,7 +60,12 @@ def _vocab_tile(v: int) -> int:
     for t in (1024, 512, 256, 128):
         if v % t == 0:
             return t
-    return v
+    if v <= 4096:  # tiny test tables: whole-table tile is fine
+        return v
+    raise ValueError(
+        f"table rows {v} not divisible by a vocab tile (>=128); pad rows via "
+        "parallel.spmd.padded_vocab_rows (a full-table VMEM block would OOM)"
+    )
 
 
 # -- forward kernel -------------------------------------------------------

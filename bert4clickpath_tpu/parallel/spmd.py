@@ -42,10 +42,13 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def padded_vocab_rows(vocab_rows: int, model_shards: int) -> int:
-    """Table rows padded so the row-shard divides evenly; the extra rows are
-    blinded in the projection (embedding.sharded_logits_local)."""
-    return round_up(vocab_rows, model_shards)
+def padded_vocab_rows(vocab_rows: int, model_shards: int, kernel_tile: int = 1024) -> int:
+    """Table rows padded so (a) the row-shard divides evenly over the model
+    axis and (b) each shard is a multiple of the fused-CE kernel's vocab
+    tile (ops/pallas/fused_ce.py); extra rows are blinded in the projection
+    (embedding.sharded_logits_local)."""
+    per_shard = round_up(-(-vocab_rows // model_shards), kernel_tile)
+    return per_shard * model_shards
 
 
 def _is_sharded_table(path_keys, config: ModelConfig) -> bool:

@@ -44,10 +44,16 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def make_optimizer(cfg) -> optax.GradientTransformation:
-    """Adam sans-LR; LR applied in the step (see module docstring)."""
+def make_optimizer(cfg, mu_dtype=None) -> optax.GradientTransformation:
+    """Adam sans-LR; LR applied in the step (see module docstring).
+
+    mu_dtype=jnp.bfloat16 halves the first-moment memory — worthwhile when a
+    sharded embedding table's Adam state dominates HBM (10M-item configs).
+    """
     return optax.chain(
-        optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps),
+        optax.scale_by_adam(
+            b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps, mu_dtype=mu_dtype
+        ),
         optax.scale(-1.0),
     )
 
