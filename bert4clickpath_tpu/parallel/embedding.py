@@ -234,3 +234,75 @@ def sharded_ranking_stats(
     if data_axis is not None:
         stats = {k: jax.lax.psum(v, data_axis) for k, v in stats.items()}
     return stats
+
+
+def _eval_chunk(v_local: int) -> int:
+    for c in (8192, 4096, 2048, 1024, 512, 256, 128):
+        if v_local % c == 0:
+            return c
+    return v_local
+
+
+def sharded_chunked_eval_stats(
+    x: jnp.ndarray,  # (B, P, D)
+    table_shard: jnp.ndarray,  # (V_local, D)
+    labels: jnp.ndarray,  # (B, P) label-space
+    ks=(5, 10),
+    model_axis: str = "model",
+    data_axis: Optional[str] = "data",
+    label_pad: int = LABEL_PAD,
+    row_offset: int = 0,
+    num_valid: Optional[int] = None,
+) -> dict[str, jnp.ndarray]:
+    """Full-catalog eval stats with per-shard *chunked* scanning.
+
+    Unlike :func:`sharded_ranking_stats` (which materializes the (B, P,
+    V_local) tile), each shard streams its rows in chunks
+    (ops/chunked_eval.py) — eval works at 10M rows/shard. Cross-shard
+    combine: global logsumexp over shard-local logz, psum label logit,
+    all_gather top-k candidates.
+    """
+    from bert4clickpath_tpu.ops.chunked_eval import chunked_scores
+
+    idx, _ = shard_info(model_axis)
+    v_local = table_shard.shape[0]
+    kmax = max(ks)
+    logz_l, label_logit_l, vals_l, rows_l = chunked_scores(
+        x,
+        table_shard,
+        labels,
+        kmax,
+        row_offset=row_offset,
+        num_valid=num_valid,
+        chunk=_eval_chunk(v_local),
+        base_row=idx * v_local,
+    )
+    # global logsumexp from shard-local logz
+    gmax = jax.lax.pmax(logz_l, model_axis)
+    total = jax.lax.psum(jnp.exp(logz_l - gmax), model_axis)
+    logz = gmax + jnp.log(total)
+    label_logit = jax.lax.psum(label_logit_l, model_axis)
+    # global top-k from per-shard candidates
+    all_vals = jax.lax.all_gather(vals_l, model_axis)  # (S, B, P, k)
+    all_rows = jax.lax.all_gather(rows_l, model_axis)
+    all_vals = jnp.moveaxis(all_vals, 0, -2).reshape(*vals_l.shape[:-1], -1)
+    all_rows = jnp.moveaxis(all_rows, 0, -2).reshape(*vals_l.shape[:-1], -1)
+    top_vals, sel = jax.lax.top_k(all_vals, kmax)
+    top_rows = jnp.take_along_axis(all_rows, sel, axis=-1)
+    top_labels = top_rows - row_offset
+
+    mask = (labels != label_pad).astype(jnp.float32)
+    nll = (logz - label_logit) * mask
+    hit = (top_labels == labels[..., None]).astype(jnp.float32)
+    discounts = 1.0 / (
+        jnp.log(jnp.arange(2, kmax + 2, dtype=jnp.float32)) / jnp.log(2.0)
+    )
+    stats = {"n": jnp.sum(mask), "loss_sum": jnp.sum(nll)}
+    for k in ks:
+        stats[f"recall@{k}_sum"] = jnp.sum(jnp.sum(hit[..., :k], axis=-1) * mask)
+        stats[f"ndcg@{k}_sum"] = jnp.sum(
+            jnp.sum(hit[..., :k] * discounts[:k], axis=-1) * mask
+        )
+    if data_axis is not None:
+        stats = {k: jax.lax.psum(v, data_axis) for k, v in stats.items()}
+    return stats

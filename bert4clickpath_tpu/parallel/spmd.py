@@ -258,16 +258,9 @@ def make_spmd_eval_step(
             None,
             deterministic=True,
         )
-        loss = emb_ops.sharded_softmax_cross_entropy(
-            gathered,
-            table_shard,
-            batch["labels"],
-            model_axis=MODEL_AXIS,
-            data_axis=DATA_AXIS,
-            row_offset=NUM_RESERVED_TOKENS,
-            num_valid=label_vocab_size,
-        )
-        stats = emb_ops.sharded_ranking_stats(
+        # chunked per-shard scan: eval never materializes (B, P, V_local)
+        # logits either, so 10M-row shards evaluate fine
+        return emb_ops.sharded_chunked_eval_stats(
             gathered,
             table_shard,
             batch["labels"],
@@ -277,8 +270,6 @@ def make_spmd_eval_step(
             row_offset=NUM_RESERVED_TOKENS,
             num_valid=label_vocab_size,
         )
-        stats["loss_sum"] = loss * stats["n"]
-        return stats
 
     def sharded(params, batch):
         p_specs = param_specs(params, config)

@@ -65,8 +65,15 @@ def build_model_config(preset: str, vocab, args) -> ModelConfig:
             dtype="float32",
         )
     if preset == "tpu":
+        from bert4clickpath_tpu.parallel.spmd import padded_vocab_rows
+
         return ModelConfig(
-            features={"items": FeatureConfig(vocab.model_vocab_size, args.d_model)},
+            # rows padded to the fused-CE kernel's vocab tile
+            features={
+                "items": FeatureConfig(
+                    padded_vocab_rows(vocab.model_vocab_size, 1), args.d_model
+                )
+            },
             num_layers=args.layers,
             num_heads=args.heads,
             ffn_dim=4 * args.d_model,
@@ -149,7 +156,15 @@ def main(argv=None):
 
     tx = make_optimizer(tcfg)
     state = TrainState.create(params, tx)
-    train_step = make_train_step(model, tx, schedules.constant(tcfg.learning_rate))
+    train_step = make_train_step(
+        model,
+        tx,
+        schedules.constant(tcfg.learning_rate),
+        # tied head trains through the fused Pallas CE (no dense logits)
+        fused_ce_num_valid=(
+            vocab.label_vocab_size if cfg.head.kind == "tied_softmax" else None
+        ),
+    )
     eval_step = make_eval_step(model, ks=(5, 10))
 
     def export_fn(best_params):
