@@ -322,7 +322,8 @@ def _fused_bwd(row_offset, num_valid, res, g):
     mask = (labels != LABEL_PAD).astype(jnp.float32)
     dnll = (g * mask).astype(jnp.float32)
     lab = _labels_model(labels, row_offset)
-    dx, dw = _bwd(x, table, lab, logz, dnll, row_offset, num_valid)
+    bwd = _bwd_fused if use_fused_backward(*x.shape) else _bwd
+    dx, dw = bwd(x, table, lab, logz, dnll, row_offset, num_valid)
     return dx, dw, None
 
 
@@ -411,7 +412,8 @@ def _sharded_bwd(row_offset, num_valid, model_axis, data_axis, res, gbar):
     dnll = (gbar / count) * mask  # (n,) d(loss)/d(nll_i)
     lab_model = _labels_model(labf, row_offset)
     row_start = _shard_row_start(table_shard, model_axis)
-    dx, dw = _bwd(
+    bwd = _bwd_fused if use_fused_backward(n, d) else _bwd
+    dx, dw = bwd(
         x.reshape(n, d),
         table_shard,
         lab_model,
@@ -427,3 +429,86 @@ def _sharded_bwd(row_offset, num_valid, model_axis, data_axis, res, gbar):
 
 
 sharded_fused_softmax_ce.defvjp(_sharded_fwd, _sharded_bwd)
+
+
+# -- single-pass backward (dx in VMEM scratch; dw per-block) --------------
+
+
+def _bwd_fused_kernel(
+    row_start_ref, x_ref, w_ref, lab_ref, logz_ref, dnll_ref,
+    dx_ref, dw_ref, dx_acc,
+    *, tn: int, tv: int, row_offset: int, num_valid: int,
+):
+    """grid (j, i), i inner: dw block j accumulates across the inner sweep;
+    dx accumulates in a persistent (N, D) VMEM scratch and each dx out-block
+    is (re)written on every visit — only the final j sweep's write survives,
+    which by then holds the full sum. One s-recompute instead of two."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init_dw():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    @pl.when(j == 0)
+    def _init_dx_acc():
+        dx_acc[pl.ds(i * tn, tn), :] = jnp.zeros((tn, dx_acc.shape[1]), dx_acc.dtype)
+
+    x = x_ref[:]
+    w = w_ref[:].astype(x.dtype)
+    a = _softmax_adjoint(
+        x, w, lab_ref[:], logz_ref[:], dnll_ref[:],
+        row_start_ref[0, 0] + j * tv, tv, row_offset, num_valid,
+    )
+    ab = a.astype(x.dtype)
+    dw_ref[:] += jax.lax.dot_general(
+        ab, x, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dw_ref.dtype)
+    acc = dx_acc[pl.ds(i * tn, tn), :] + jax.lax.dot_general(
+        ab, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_acc[pl.ds(i * tn, tn), :] = acc
+    dx_ref[:] = acc.astype(dx_ref.dtype)
+
+
+def _bwd_fused(x, table, labels_model, logz, dnll, row_offset, num_valid,
+               row_start=None):
+    n, d = x.shape
+    v = table.shape[0]
+    tn, tv = _row_tile(n), _vocab_tile(v)
+    if row_start is None:
+        row_start = jnp.zeros((), jnp.int32)
+    row_start = jnp.reshape(row_start.astype(jnp.int32), (1, 1))
+    dx, dw = pl.pallas_call(
+        functools.partial(
+            _bwd_fused_kernel, tn=tn, tv=tv, row_offset=row_offset,
+            num_valid=num_valid,
+        ),
+        grid=(v // tv, n // tn),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tn, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tv, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tn, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tv, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, d), x.dtype),
+            jax.ShapeDtypeStruct((v, d), table.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, d), jnp.float32)],
+        interpret=_interpret(),
+    )(row_start, x, table, labels_model, logz[:, None], dnll[:, None])
+    return dx, dw
+
+
+def use_fused_backward(n: int, d: int, vmem_budget: int = 8 * 1024 * 1024) -> bool:
+    """The merged backward holds an (N, D) f32 scratch in VMEM."""
+    return n * d * 4 <= vmem_budget
