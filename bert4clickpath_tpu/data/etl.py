@@ -107,3 +107,52 @@ def read_packed(path_glob: str) -> list[np.ndarray]:
         with np.load(fname, allow_pickle=False) as z:
             out.extend(unpack_ragged({"values": z["values"], "offsets": z["offsets"]}))
     return out
+
+
+def write_packed_dataset(
+    features: dict[str, Sequence[np.ndarray]],
+    path: str,
+    records_per_shard: int = 10_000,
+) -> list[str]:
+    """Multi-feature ragged dataset writer (the SequenceExample replacement,
+    reference data_utils.py:127-245): each feature is a list of per-group
+    arrays, all aligned on the group axis. One npz per shard with
+    ``<feature>_values`` / ``<feature>_offsets`` arrays."""
+    names = sorted(features)
+    n = len(features[names[0]])
+    for m in names:
+        assert len(features[m]) == n, "features must align on the group axis"
+    os.makedirs(path, exist_ok=True)
+    n_shards = max(1, (n + records_per_shard - 1) // records_per_shard)
+    files = []
+    for i in range(n_shards):
+        sl = slice(i * records_per_shard, (i + 1) * records_per_shard)
+        payload = {}
+        for m in names:
+            packed = pack_ragged(features[m][sl])
+            payload[f"{m}_values"] = packed["values"]
+            payload[f"{m}_offsets"] = packed["offsets"]
+        fname = os.path.join(path, f"dataset_{i + 1}_of_{n_shards}.npz")
+        np.savez_compressed(fname, **payload)
+        files.append(fname)
+    return files
+
+
+def read_packed_dataset(path_glob: str) -> dict[str, list[np.ndarray]]:
+    """Read a multi-feature packed dataset back (all shards, in order)."""
+
+    def shard_key(p):
+        m = re.search(r"_(\d+)_of_(\d+)\.npz$", p)
+        return int(m.group(1)) if m else 0
+
+    out: dict[str, list[np.ndarray]] = {}
+    for fname in sorted(glob.glob(path_glob), key=shard_key):
+        with np.load(fname, allow_pickle=False) as z:
+            names = sorted({k[: -len("_values")] for k in z.files if k.endswith("_values")})
+            for m in names:
+                out.setdefault(m, []).extend(
+                    unpack_ragged(
+                        {"values": z[f"{m}_values"], "offsets": z[f"{m}_offsets"]}
+                    )
+                )
+    return out

@@ -114,9 +114,17 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval_batches", type=int, default=0, help="0 = full eval")
     p.add_argument("--init_ckpt", default=None, help="warm-start params path")
+    p.add_argument(
+        "--resume", action="store_true",
+        help="resume full state from the latest checkpoint in model_dir/ckpts",
+    )
     p.add_argument("--monitor", default="val_loss")
     p.add_argument("--monitor_mode", default="min", choices=["min", "max"])
     p.add_argument("--patience", type=int, default=30)
+    p.add_argument(
+        "--schedule", default="constant", choices=["constant", "rsqrt_warmup"]
+    )
+    p.add_argument("--warmup_steps", type=int, default=4000)
     args = p.parse_args(argv)
 
     if args.simulated:
@@ -156,10 +164,23 @@ def main(argv=None):
 
     tx = make_optimizer(tcfg)
     state = TrainState.create(params, tx)
+    if args.resume:
+        latest = ckpt_lib.latest_checkpoint(os.path.join(args.model_dir, "ckpts"))
+        if latest:
+            state = ckpt_lib.restore_state(latest, jax.device_get(state))
+            print(f"resumed from {latest} at step {int(state.step)}", flush=True)
+    if args.schedule == "rsqrt_warmup":
+        # Vaswani schedule scaled so the post-warmup peak equals --lr
+        peak = (cfg.d_model * args.warmup_steps) ** -0.5
+        schedule = schedules.rsqrt_warmup(
+            cfg.d_model, args.warmup_steps, scale=tcfg.learning_rate / peak
+        )
+    else:
+        schedule = schedules.constant(tcfg.learning_rate)
     train_step = make_train_step(
         model,
         tx,
-        schedules.constant(tcfg.learning_rate),
+        schedule,
         # tied head trains through the fused Pallas CE (no dense logits)
         fused_ce_num_valid=(
             vocab.label_vocab_size if cfg.head.kind == "tied_softmax" else None

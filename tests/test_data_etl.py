@@ -112,3 +112,18 @@ def test_beauty_loader_format(tmp_path):
     assert all(len(s) == 4 for s in seqs)  # first-4 truncation
     # first-appearance vocab: u0's items come first
     assert vocab.tokens[0] == "item0"
+
+
+def test_packed_dataset_multifeature_roundtrip(tmp_path):
+    items = [np.arange(i + 2, dtype=np.int32) for i in range(12)]
+    events = [np.arange(i + 2, dtype=np.int32) * 2 for i in range(12)]
+    files = etl.write_packed_dataset(
+        {"items": items, "events": events}, str(tmp_path), records_per_shard=5
+    )
+    assert len(files) == 3
+    back = etl.read_packed_dataset(str(tmp_path / "dataset_*.npz"))
+    assert set(back) == {"items", "events"}
+    for a, b in zip(items, back["items"]):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(events, back["events"]):
+        np.testing.assert_array_equal(a, b)
