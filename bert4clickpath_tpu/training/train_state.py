@@ -150,14 +150,49 @@ def make_eval_step(
     loss_fn: Optional[Callable] = None,
     ks=(5, 10),
     axis_name: Optional[str] = None,
+    chunked_num_valid: Optional[int] = None,
 ):
     """Returns jitted ``(params, batch) -> (loss_sum_stats, metric_stats)``.
 
     Emits *sums* so the host (or a psum) can aggregate exactly across
     batches/devices; ranking metrics only for softmax-family heads.
+
+    chunked_num_valid: for tied_softmax heads, evaluate via the chunked
+    full-catalog scan (ops/chunked_eval.py) instead of dense logits — pass
+    the raw label vocab size V. Required at very large catalogs; also
+    avoids the (B, P, V) f32 eval tensor at Beauty scale.
     """
     head_kind = model.config.head.kind
     loss_fn = loss_fn or loss_for_head(head_kind)
+
+    if chunked_num_valid is not None and head_kind == "tied_softmax":
+        from bert4clickpath_tpu.constants import NUM_RESERVED_TOKENS
+        from bert4clickpath_tpu.ops.chunked_eval import chunked_eval_stats
+
+        def chunked_step(params, batch):
+            gathered = model.apply(
+                params,
+                batch["features"],
+                batch.get("head_positions"),
+                deterministic=True,
+                method="gather_head_inputs",
+            )
+            table = params["params"][f"embed_{model.config.item_feature}"][
+                "embedding"
+            ]
+            v = table.shape[0]
+            chunk = 8192 if v % 8192 == 0 else (4096 if v % 4096 == 0 else 1024)
+            return chunked_eval_stats(
+                gathered,
+                table,
+                batch["labels"],
+                ks=ks,
+                row_offset=NUM_RESERVED_TOKENS,
+                num_valid=chunked_num_valid,
+                chunk=chunk if v % chunk == 0 else v,
+            )
+
+        return jax.jit(chunked_step)
 
     def step(params, batch):
         logits = model.apply(

@@ -233,3 +233,20 @@ def test_serving_export_roundtrip(tmp_path):
     # scores are log-probs, descending
     scores = [s for _, s in recs[0]]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_chunked_eval_step_matches_dense():
+    ds, vocab, cfg, model = _setup("tied_softmax")
+    b = _to_device(next(ds.train_batches(8, seed=0)))
+    params = model.init({"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"])
+    from bert4clickpath_tpu.training.train_state import make_eval_step as mes
+
+    dense = mes(model)(params, b)
+    chunked = mes(model, chunked_num_valid=vocab.label_vocab_size)(params, b)
+    for k in ("n", "recall@10_sum", "ndcg@10_sum"):
+        np.testing.assert_allclose(
+            float(chunked[k]), float(dense[k]), rtol=1e-5, err_msg=k
+        )
+    np.testing.assert_allclose(
+        float(chunked["loss_sum"]), float(dense["loss_sum"]), rtol=1e-4
+    )
