@@ -149,7 +149,10 @@ def _forward_gathered(
             )
         parts.append(e)
     x = jnp.concatenate(parts, axis=-1) * jnp.sqrt(jnp.asarray(config.d_model, dtype))
-    pos = jnp.asarray(sinusoidal_positions(config.max_len, config.d_model))
+    if config.positional == "learned":
+        pos = params["positions"]["embedding"]
+    else:
+        pos = jnp.asarray(sinusoidal_positions(config.max_len, config.d_model))
     x = x + pos[: first_tokens.shape[1]].astype(dtype)[None]
     bias = padding_bias(first_tokens)
     rngs = None if deterministic else {"dropout": rng}

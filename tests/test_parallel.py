@@ -273,3 +273,46 @@ def test_spmd_step_update_matches_manual_single_device():
         )
 
     jax.tree.map(compare, jax.device_get(grads), got, jax.device_get(want))
+
+
+def test_spmd_learned_positions_match_single_device():
+    """The SPMD forward must honor positional='learned' (was silently
+    falling back to sinusoidal)."""
+    mesh = _mesh()
+    gen = ClickStreamGenerator(n_items=22, session_cohesiveness=200, seed=0)
+    items, _ = gen.generate_sessions(32)
+    vocab = gen.item_vocab()
+    ds = ClozeDataset(items, vocab, max_items=20)
+    rows = spmd.padded_vocab_rows(vocab.model_vocab_size, 4)
+    cfg = ModelConfig(
+        features={"items": FeatureConfig(rows, 16)},
+        num_layers=1,
+        num_heads=2,
+        ffn_dim=32,
+        max_len=23,
+        dropout_rate=0.0,
+        positional="learned",
+        head=HeadConfig("tied_softmax"),
+    )
+    model = ClickstreamModel(cfg)
+    b = _device_batch(next(ds.train_batches(8, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+    )["params"]
+    # make the learned table distinctive so a fallback would show
+    params["positions"]["embedding"] = params["positions"]["embedding"] + 1.5
+
+    logits = model.apply({"params": params}, b["features"], b["head_positions"])
+    want = float(
+        masked_softmax_cross_entropy(
+            logits[..., : vocab.label_vocab_size], b["labels"]
+        )
+    )
+    tcfg = TrainConfig()
+    tx = make_optimizer(tcfg)
+    state = spmd.shard_state(TrainState.create(params, tx), mesh, cfg)
+    step = spmd.make_spmd_train_step(
+        cfg, mesh, tx, schedules.constant(0.0), vocab.label_vocab_size
+    )
+    _, loss = step(state, spmd.shard_batch(b, mesh, cfg), jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(loss), want, rtol=2e-4)
