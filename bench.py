@@ -58,13 +58,13 @@ def main():
     vocab = gen.item_vocab()
     cfg = ModelConfig(
         # rows padded to the fused-CE kernel's vocab tile
-        features={"items": FeatureConfig(padded_vocab_rows(vocab.model_vocab_size, 1024), 256)},
+        features={"items": FeatureConfig(padded_vocab_rows(vocab.model_vocab_size, 1), 256)},
         num_layers=4,
         num_heads=4,
         ffn_dim=1024,
         dropout_rate=0.1,
         max_len=53,
-        head=HeadConfig("tied_softmax"),
+        head=HeadConfig("tied_softmax", output_size=vocab.label_vocab_size),
         dtype="bfloat16",
     )
     model = ClickstreamModel(cfg)

@@ -168,10 +168,15 @@ class ClickstreamModel(nn.Module):
         logits = x @ E_items[10:10+V]^T, sharing the item embedding table
         (BASELINE.json north star; enables vocab-sharded CE under the model
         mesh axis).
+
+        V comes from ``head.output_size`` when set — required whenever the
+        table rows were padded (padded_vocab_rows), otherwise untrained
+        OOV/padding rows would be rankable. The fallback (rows - reserved -
+        1 OOV) is only right for unpadded tables.
         """
         cfg = self.config
         table = self.embeds[cfg.item_feature].embedding  # (rows, D_item)
-        v = table.shape[0] - NUM_RESERVED_TOKENS - 1  # strip reserved + OOV
+        v = cfg.head.output_size or (table.shape[0] - NUM_RESERVED_TOKENS - 1)
         weights = table[NUM_RESERVED_TOKENS : NUM_RESERVED_TOKENS + v]
         d_item = weights.shape[-1]
         # Project the (possibly concatenated) encoder output down to the item

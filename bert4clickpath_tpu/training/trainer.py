@@ -126,7 +126,12 @@ class Trainer:
                     record[f"val_{k}"] = float(v)
             self._log(record)
 
-            monitored = sign * record.get(cfg.monitor, record["val_loss"])
+            if cfg.monitor not in record:
+                raise KeyError(
+                    f"monitor {cfg.monitor!r} not in epoch record "
+                    f"(available: {sorted(record)})"
+                )
+            monitored = sign * record[cfg.monitor]
             if monitored < best_val:
                 best_val = monitored
                 epochs_since_best = 0

@@ -80,7 +80,8 @@ def build_model_config(preset: str, vocab, args) -> ModelConfig:
             dropout_rate=args.dropout,
             max_len=args.max_items + 3,
             positional="learned",
-            head=HeadConfig("tied_softmax"),
+            # output_size pins V so padded rows never enter dense logits
+            head=HeadConfig("tied_softmax", output_size=vocab.label_vocab_size),
             dtype="bfloat16",
         )
     raise ValueError(preset)
@@ -186,7 +187,14 @@ def main(argv=None):
             vocab.label_vocab_size if cfg.head.kind == "tied_softmax" else None
         ),
     )
-    eval_step = make_eval_step(model, ks=(5, 10))
+    eval_step = make_eval_step(
+        model,
+        ks=(5, 10),
+        # tied heads evaluate via the chunked blinded catalog scan
+        chunked_num_valid=(
+            vocab.label_vocab_size if cfg.head.kind == "tied_softmax" else None
+        ),
+    )
 
     def export_fn(best_params):
         ckpt_lib.export_serving(

@@ -91,7 +91,7 @@ def main(argv=None):
         num_heads=4,
         ffn_dim=4 * args.d_model,
         max_len=args.max_items + 3,
-        head=HeadConfig("tied_softmax"),
+        head=HeadConfig("tied_softmax", output_size=args.items),
         dtype="bfloat16" if jax.default_backend() == "tpu" else "float32",
     )
     table_gb = rows * args.d_model * 4 / 1e9

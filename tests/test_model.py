@@ -179,3 +179,19 @@ def test_config_validation():
         ModelConfig(routing="segment")  # missing bounds
     with pytest.raises(ValueError):
         HeadConfig(kind="nope")
+
+
+def test_tied_logits_respect_output_size_with_padded_rows():
+    """Padded tables: dense tied logits must cover exactly V rows, never the
+    OOV/padding rows (code-review finding)."""
+    v = 40
+    rows = 64  # 10 reserved + 40 vocab + 1 OOV + 13 padding
+    cfg = _cfg(
+        features={"items": FeatureConfig(rows, 16)},
+        head=HeadConfig("tied_softmax", output_size=v),
+    )
+    model = ClickstreamModel(cfg)
+    feats, pos = _batch()
+    params = model.init(jax.random.PRNGKey(0), feats, pos)
+    logits = model.apply(params, feats, pos)
+    assert logits.shape == (3, 4, v)
