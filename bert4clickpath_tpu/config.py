@@ -83,6 +83,11 @@ class ModelConfig:
     routing: str = "mask"
     segment_bounds: Optional[tuple[int, int]] = None  # for routing='segment'
     max_masked: int = MAX_MASKED_ITEMS  # P, width of the head gather
+    # Segment embeddings over cumulative-SEP markers: the reference scaffolded
+    # but disabled these (transformer.py:358,392-395); useful with chained
+    # multi-sequence inputs (routing='segment').
+    use_segment_embeddings: bool = False
+    max_segments: int = 8
     dtype: str = "float32"  # computation dtype: "bfloat16" on TPU
     # name of the feature whose embedding the tied head shares
     item_feature: str = "items"

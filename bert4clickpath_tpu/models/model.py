@@ -62,6 +62,13 @@ class ClickstreamModel(nn.Module):
         }
         if cfg.positional == "learned":
             self.positions = LearnedPositions(cfg.max_len, cfg.d_model, name="positions")
+        if cfg.use_segment_embeddings:
+            self.segment_embed = nn.Embed(
+                cfg.max_segments,
+                cfg.d_model,
+                param_dtype=jnp.float32,
+                name="segment_embed",
+            )
         self.encoder = Encoder(
             num_layers=cfg.num_layers,
             d_model=cfg.d_model,
@@ -106,6 +113,13 @@ class ClickstreamModel(nn.Module):
         else:
             pos = jnp.asarray(sinusoidal_positions(cfg.max_len, cfg.d_model))[:seq_len]
         embedded = embedded + pos.astype(self._dtype)[None]
+        if cfg.use_segment_embeddings:
+            # cumulative-SEP markers: [CLS][SEP] s1 [SEP] s2 -> 0 1.. 2..
+            from bert4clickpath_tpu.constants import SEP_ID
+            from bert4clickpath_tpu.ops.masking import segment_ids
+
+            seg = jnp.clip(segment_ids(first, SEP_ID), 0, cfg.max_segments - 1)
+            embedded = embedded + self.segment_embed(seg).astype(self._dtype)
         return self.encoder(embedded, bias, deterministic)
 
     def gather_head_inputs(

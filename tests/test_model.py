@@ -195,3 +195,22 @@ def test_tied_logits_respect_output_size_with_padded_rows():
     params = model.init(jax.random.PRNGKey(0), feats, pos)
     logits = model.apply(params, feats, pos)
     assert logits.shape == (3, 4, v)
+
+
+def test_segment_embeddings_option():
+    """Segment embeddings over cumulative SEP markers (the reference
+    scaffolded these, transformer.py:392-395; here they are a real option)."""
+    cfg = _cfg(use_segment_embeddings=True)
+    model = ClickstreamModel(cfg)
+    feats, pos = _batch()
+    params = model.init(jax.random.PRNGKey(0), feats, pos)
+    assert "segment_embed" in params["params"]
+    logits = model.apply(params, feats, pos)
+    assert logits.shape == (3, 4, 40)
+    # zeroing the segment table must change outputs
+    params2 = jax.tree.map(lambda x: x, params)
+    params2["params"]["segment_embed"]["embedding"] = (
+        params2["params"]["segment_embed"]["embedding"] * 0.0
+    )
+    logits2 = model.apply(params2, feats, pos)
+    assert not np.allclose(np.asarray(logits), np.asarray(logits2))
