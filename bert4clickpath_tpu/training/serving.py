@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -59,11 +59,20 @@ class ServingModel:
         )
 
     def recommend(
-        self, sessions: Sequence[Sequence[str]], k: int = 10
-    ) -> list[list[tuple[str, float]]]:
+        self,
+        sessions: Sequence[Sequence[str]],
+        k: int = 10,
+        instance_ids: Optional[Sequence[str]] = None,
+    ) -> list:
         """Next-item recommendation: append a [MASK] slot after each session
         and rank the full catalog for it. Returns per-session top-k
-        (item, score) with scores as softmax log-probabilities."""
+        (item, score) with scores as softmax log-probabilities.
+
+        instance_ids: optional opaque request ids passed through with each
+        result (the reference's serving contract,
+        clickstream_transformer.py:346-350) — output becomes
+        ``[{"instance_id": ..., "items": [(item, score), ...]}, ...]``.
+        """
         cfg = self.config
         vocab = self.vocabs[self._item_feature]
         max_items = cfg.max_len - 3  # [CLS][SEP] ... [SEP]
@@ -85,7 +94,13 @@ class ServingModel:
         logprobs = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1)
         scores, idx = jax.lax.top_k(logprobs, k)
         scores, idx = np.asarray(scores), np.asarray(idx)
-        return [
+        results = [
             [(vocab.decode_label(int(idx[i, j])), float(scores[i, j])) for j in range(k)]
             for i in range(b)
         ]
+        if instance_ids is not None:
+            return [
+                {"instance_id": iid, "items": items}
+                for iid, items in zip(instance_ids, results)
+            ]
+        return results

@@ -250,3 +250,18 @@ def test_chunked_eval_step_matches_dense():
     np.testing.assert_allclose(
         float(chunked["loss_sum"]), float(dense["loss_sum"]), rtol=1e-4
     )
+
+
+def test_serving_instance_id_passthrough(tmp_path):
+    ds, vocab, cfg, model = _setup("tied_softmax")
+    b0 = _to_device(next(ds.train_batches(8, seed=0)))
+    params = model.init({"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"])
+    export_dir = ckpt_lib.export_serving(
+        str(tmp_path / "export"), jax.device_get(params), cfg, {"items": vocab}
+    )
+    served = ServingModel(export_dir)
+    out = served.recommend(
+        [["item_0"], ["item_1"]], k=3, instance_ids=["req-a", "req-b"]
+    )
+    assert out[0]["instance_id"] == "req-a" and len(out[0]["items"]) == 3
+    assert out[1]["instance_id"] == "req-b"
