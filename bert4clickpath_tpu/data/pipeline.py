@@ -154,3 +154,22 @@ class ClozeDataset:
                 )
             yield pad_batch(batch, per_host_batch)
             count += 1
+
+
+def prefetch_to_device(iterator, to_device, depth: int = 2):
+    """Wrap a host batch iterator so device transfer runs ahead of consumption.
+
+    The tf.data ``prefetch(AUTOTUNE)`` equivalent (reference
+    input_pipeline.py:229) for our host-side pipeline: keeps ``depth``
+    batches already transferred (jax transfers are async; holding references
+    pipelines them behind the running step).
+    """
+    import collections
+
+    queue = collections.deque()
+    for batch in iterator:
+        queue.append(to_device(batch))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

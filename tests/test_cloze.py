@@ -132,3 +132,16 @@ def test_train_batch_larger_than_dataset_raises():
     ds = ClozeDataset([np.arange(6, dtype=np.int32)] * 3, vocab)
     with pytest.raises(ValueError):
         next(ds.train_batches(8, seed=0))
+
+
+def test_prefetch_to_device_preserves_order():
+    from bert4clickpath_tpu.data.pipeline import prefetch_to_device
+
+    vocab = Vocabulary([f"i{k}" for k in range(20)])
+    seqs = [np.arange(6, dtype=np.int32)] * 40
+    ds = ClozeDataset(seqs, vocab, max_items=10)
+    plain = list(ds.eval_batches(8))
+    pre = list(prefetch_to_device(ds.eval_batches(8), lambda b: b, depth=3))
+    assert len(plain) == len(pre)
+    for a, b in zip(plain, pre):
+        np.testing.assert_array_equal(a.features["items"], b.features["items"])
