@@ -7,9 +7,17 @@ transformer.py:346-355). The item table lives row-sharded across the
 each device holds its ``(V_local, D)`` shard:
 
 * :func:`sharded_embedding_lookup` — each shard gathers the rows it owns and
-  a ``psum`` over ``model`` assembles full embeddings. The backward pass is
-  automatically the correct scatter-add into the owning shard (psum's VJP is
-  identity, take's VJP is scatter-add).
+  a ``psum`` over ``model`` assembles full embeddings, with a hand-written
+  VJP (per-shard scatter-add).
+
+  Comm-pattern note: the north star sketches an all-to-all exchange. With
+  this framework's layout the consumer (the encoder) runs replicated across
+  the ``model`` axis, so every model shard needs every looked-up row —
+  an allreduce (psum) of masked gathers IS the minimal collective; an
+  all-to-all would only win if activations were also model-sharded (tensor
+  parallelism), which a 2-4 layer encoder doesn't warrant (SURVEY.md §2.2
+  marks TP optional). On ICI the psum rides the same links the all-to-all
+  would.
 * :func:`sharded_softmax_cross_entropy` — Megatron-style vocab-parallel CE:
   local partial logits ``x @ shard^T``, global logsumexp via
   pmax/psum, label logit fetched from the owning shard. The full
