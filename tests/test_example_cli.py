@@ -1,0 +1,31 @@
+"""End-to-end smoke of the example CLI on simulated data (CPU)."""
+
+import subprocess
+import sys
+import os
+
+import pytest
+
+
+@pytest.mark.parametrize("preset,extra", [
+    ("tpu", ["--d_model", "32", "--layers", "1", "--heads", "2"]),
+    ("parity", []),
+])
+def test_train_cli_simulated(tmp_path, preset, extra):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "bert4rec", "train.py"),
+            "--simulated", "--n_items", "40", "--n_sessions", "300",
+            "--model_dir", str(tmp_path / preset),
+            "--preset", preset, "--epochs", "2", "--batch", "32",
+            "--eval_batches", "2", "--max_items", "20", *extra,
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "done" in out.stdout
+    assert (tmp_path / preset / "history.jsonl").exists()
+    assert (tmp_path / preset / "export" / "model_config.json").exists()
