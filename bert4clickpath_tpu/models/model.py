@@ -91,7 +91,29 @@ class ClickstreamModel(nn.Module):
             self.head = MultiLabelHead(
                 tuple(head.dense_dims), head.output_size, self._dtype, name="head"
             )
-        # tied_softmax has no parameters of its own — see __call__.
+        # tied_softmax: optional BERT-MLM-style transform before the tied
+        # projection (head.dense_dims -> Dense+gelu stack + LayerNorm);
+        # otherwise no parameters of its own — see __call__.
+        if head.kind == "tied_softmax":
+            if head.dense_dims:
+                self.tied_transform = [
+                    nn.Dense(
+                        dim, dtype=self._dtype, param_dtype=jnp.float32,
+                        name=f"tied_transform_{i}",
+                    )
+                    for i, dim in enumerate(head.dense_dims)
+                ]
+                self.tied_transform_ln = nn.LayerNorm(
+                    epsilon=1e-6, dtype=self._dtype, name="tied_transform_ln"
+                )
+            d_item = cfg.features[cfg.item_feature].embedding_dim
+            width = head.dense_dims[-1] if head.dense_dims else cfg.d_model
+            if width != d_item:
+                # down/up-project to the item embedding width before tying
+                self.tied_proj = nn.Dense(
+                    d_item, dtype=self._dtype, param_dtype=jnp.float32,
+                    name="tied_proj",
+                )
 
     def encode(
         self, features: dict[str, jnp.ndarray], deterministic: bool = True
@@ -122,15 +144,34 @@ class ClickstreamModel(nn.Module):
             embedded = embedded + self.segment_embed(seg).astype(self._dtype)
         return self.encoder(embedded, bias, deterministic)
 
+    def apply_tied_transform(self, x: jnp.ndarray) -> jnp.ndarray:
+        """BERT-MLM-style pre-projection for the tied head: Dense+gelu per
+        configured dim then LayerNorm (identity when dense_dims is empty),
+        plus the width-matching projection to the item embedding dim. Output
+        is ready for ``x @ E^T``."""
+        cfg = self.config
+        if cfg.head.kind != "tied_softmax":
+            return x
+        if cfg.head.dense_dims:
+            x = x.astype(self._dtype)
+            for layer in self.tied_transform:
+                x = nn.gelu(layer(x))
+            x = self.tied_transform_ln(x)
+        if hasattr(self, "tied_proj"):
+            x = self.tied_proj(x.astype(self._dtype))
+        return x
+
     def gather_head_inputs(
         self,
         features: dict[str, jnp.ndarray],
         head_positions: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        """Encode and gather the routed positions WITHOUT applying the head.
+        """Encode, gather the routed positions, and (for tied heads) apply
+        the pre-projection transform — everything EXCEPT the final catalog
+        projection.
 
-        (B, P, d_model) f32 — the input the fused Pallas tied-projection CE
+        (B, P, d_head) f32 — the input the fused Pallas tied-projection CE
         kernel consumes (ops/pallas/fused_ce.py), so the (B, P, V) logits
         never materialize. Use via ``model.apply(..., method='gather_head_inputs')``.
         """
@@ -145,7 +186,7 @@ class ClickstreamModel(nn.Module):
         else:
             start, end = cfg.segment_bounds
             gathered = h[:, start:end]
-        return gathered.astype(jnp.float32)
+        return self.apply_tied_transform(gathered).astype(jnp.float32)
 
     def __call__(
         self,
@@ -189,16 +230,10 @@ class ClickstreamModel(nn.Module):
         1 OOV) is only right for unpadded tables.
         """
         cfg = self.config
+        x = self.apply_tied_transform(x)
         table = self.embeds[cfg.item_feature].embedding  # (rows, D_item)
         v = cfg.head.output_size or (table.shape[0] - NUM_RESERVED_TOKENS - 1)
         weights = table[NUM_RESERVED_TOKENS : NUM_RESERVED_TOKENS + v]
-        d_item = weights.shape[-1]
-        # Project the (possibly concatenated) encoder output down to the item
-        # embedding width if multi-variable features widened d_model.
-        if x.shape[-1] != d_item:
-            x = nn.Dense(
-                d_item, dtype=self._dtype, param_dtype=jnp.float32, name="tied_proj"
-            )(x)
         return jnp.einsum(
             "bpd,vd->bpv",
             x,

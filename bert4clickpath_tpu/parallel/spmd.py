@@ -179,6 +179,10 @@ def make_spmd_train_step(
     the projection (the flagship large-catalog config).
     """
     assert config.head.kind == "tied_softmax", "SPMD step uses the tied head"
+    assert not config.head.dense_dims, (
+        "tied-head transform (head.dense_dims) is not wired into the SPMD "
+        "forward yet — use the single-chip step or an empty transform"
+    )
     encoder = _encoder_module(config, remat)
 
     def step(state: TrainState, batch, rng):

@@ -81,7 +81,13 @@ def build_model_config(preset: str, vocab, args) -> ModelConfig:
             max_len=args.max_items + 3,
             positional="learned",
             # output_size pins V so padded rows never enter dense logits
-            head=HeadConfig("tied_softmax", output_size=vocab.label_vocab_size),
+            head=HeadConfig(
+                "tied_softmax",
+                dense_dims=tuple(
+                    int(x) for x in args.head_dims.split(",") if x
+                ),
+                output_size=vocab.label_vocab_size,
+            ),
             dtype="bfloat16",
         )
     raise ValueError(preset)
@@ -112,6 +118,10 @@ def main(argv=None):
     p.add_argument("--layers", type=int, default=4)
     p.add_argument("--heads", type=int, default=4)
     p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument(
+        "--head_dims", default="",
+        help="tpu preset: comma dims for the tied-head transform (BERT-MLM style)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval_batches", type=int, default=0, help="0 = full eval")
     p.add_argument("--init_ckpt", default=None, help="warm-start params path")

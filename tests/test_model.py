@@ -214,3 +214,41 @@ def test_segment_embeddings_option():
     )
     logits2 = model.apply(params2, feats, pos)
     assert not np.allclose(np.asarray(logits), np.asarray(logits2))
+
+
+def test_tied_transform_head():
+    """BERT-MLM-style transform before the tied projection."""
+    cfg = _cfg(head=HeadConfig("tied_softmax", (32, 16), output_size=40))
+    model = ClickstreamModel(cfg)
+    feats, pos = _batch()
+    params = model.init(jax.random.PRNGKey(0), feats, pos)
+    p = params["params"]
+    assert "tied_transform_0" in p and "tied_transform_ln" in p
+    assert "tied_proj" not in p  # final dim 16 == d_item 16
+    logits = model.apply(params, feats, pos)
+    assert logits.shape == (3, 4, 40)
+    # fused-CE input path applies the same transform
+    gathered = model.apply(params, feats, pos, method="gather_head_inputs")
+    table = p["embed_items"]["embedding"]
+    manual = jnp.einsum(
+        "bpd,vd->bpv", gathered, table[NUM_RESERVED_TOKENS : NUM_RESERVED_TOKENS + 40]
+    )
+    np.testing.assert_allclose(
+        np.asarray(manual), np.asarray(logits), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_tied_multifeature_projection():
+    """Multi-variable features widen d_model; tied head projects down via
+    tied_proj (was latent-broken inline Dense)."""
+    cfg = _cfg(
+        features={"items": FeatureConfig(51, 16), "events": FeatureConfig(15, 8)},
+        head=HeadConfig("tied_softmax", output_size=40),
+    )
+    model = ClickstreamModel(cfg)
+    feats, pos = _batch()
+    feats = dict(feats, events=jnp.clip(feats["items"], 0, 14))
+    params = model.init(jax.random.PRNGKey(0), feats, pos)
+    assert "tied_proj" in params["params"]
+    logits = model.apply(params, feats, pos)
+    assert logits.shape == (3, 4, 40)
