@@ -73,7 +73,7 @@ def run_mesh(data_axis, model_axis, args, gen, vocab):
     )
     sb = spmd.shard_batch(device_batch, mesh, cfg)
     rng = jax.random.PRNGKey(1)
-    for _ in range(args.warmup):
+    for _ in range(max(1, args.warmup)):  # >=1: 'loss' must exist for the sync
         state, loss = step(state, sb, rng)
     float(np.asarray(loss))
     t0 = time.perf_counter()

@@ -25,6 +25,47 @@ from bert4clickpath_tpu.constants import LABEL_PAD
 NEG_BIG = -1e30
 
 
+def pick_chunk(v: int, target: int = 8192) -> int:
+    """Largest chunk <= target dividing v; raises rather than falling back to
+    a full-table chunk (which would materialize the logits the chunked path
+    exists to avoid)."""
+    for c in (target, 4096, 2048, 1024, 512, 256, 128):
+        if v % c == 0:
+            return c
+    if v <= 8192:
+        return v
+    raise ValueError(
+        f"table rows {v} not divisible by any eval chunk; pad rows "
+        "(parallel.spmd.padded_vocab_rows)"
+    )
+
+
+def ranking_sums_from_topk(
+    logz: jnp.ndarray,  # (B, P)
+    label_logit: jnp.ndarray,  # (B, P)
+    top_labels: jnp.ndarray,  # (B, P, kmax) label-space ids
+    labels: jnp.ndarray,  # (B, P)
+    ks: Sequence[int],
+    label_pad: int = LABEL_PAD,
+) -> dict[str, jnp.ndarray]:
+    """Shared loss/recall/NDCG sums given top-k results (single source of
+    truth for the metric arithmetic across the chunked/sharded eval paths)."""
+    kmax = max(ks)
+    mask = (labels != label_pad).astype(jnp.float32)
+    nll = (logz - label_logit) * mask
+    hit = (top_labels == labels[..., None]).astype(jnp.float32)
+    discounts = 1.0 / (
+        jnp.log(jnp.arange(2, kmax + 2, dtype=jnp.float32)) / jnp.log(2.0)
+    )
+    stats = {"n": jnp.sum(mask), "loss_sum": jnp.sum(nll)}
+    for k in ks:
+        stats[f"recall@{k}_sum"] = jnp.sum(jnp.sum(hit[..., :k], axis=-1) * mask)
+        stats[f"ndcg@{k}_sum"] = jnp.sum(
+            jnp.sum(hit[..., :k] * discounts[:k], axis=-1) * mask
+        )
+    return stats
+
+
 def chunked_scores(
     x: jnp.ndarray,  # (B, P, D) head inputs
     table: jnp.ndarray,  # (V, D) projection rows (model space)
@@ -111,17 +152,6 @@ def chunked_eval_stats(
     logz, label_logit, _, top_rows = chunked_scores(
         x, table, labels, kmax, row_offset, num_valid, chunk
     )
-    mask = (labels != LABEL_PAD).astype(jnp.float32)
-    nll = (logz - label_logit) * mask
-    top_labels = top_rows - row_offset  # back to label space
-    hit = (top_labels == labels[..., None]).astype(jnp.float32)
-    discounts = 1.0 / (
-        jnp.log(jnp.arange(2, kmax + 2, dtype=jnp.float32)) / jnp.log(2.0)
+    return ranking_sums_from_topk(
+        logz, label_logit, top_rows - row_offset, labels, ks
     )
-    stats = {"n": jnp.sum(mask), "loss_sum": jnp.sum(nll)}
-    for k in ks:
-        stats[f"recall@{k}_sum"] = jnp.sum(jnp.sum(hit[..., :k], axis=-1) * mask)
-        stats[f"ndcg@{k}_sum"] = jnp.sum(
-            jnp.sum(hit[..., :k] * discounts[:k], axis=-1) * mask
-        )
-    return stats

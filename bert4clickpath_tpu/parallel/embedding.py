@@ -245,10 +245,9 @@ def sharded_ranking_stats(
 
 
 def _eval_chunk(v_local: int) -> int:
-    for c in (8192, 4096, 2048, 1024, 512, 256, 128):
-        if v_local % c == 0:
-            return c
-    return v_local
+    from bert4clickpath_tpu.ops.chunked_eval import pick_chunk
+
+    return pick_chunk(v_local)
 
 
 def sharded_chunked_eval_stats(
@@ -297,20 +296,12 @@ def sharded_chunked_eval_stats(
     all_rows = jnp.moveaxis(all_rows, 0, -2).reshape(*vals_l.shape[:-1], -1)
     top_vals, sel = jax.lax.top_k(all_vals, kmax)
     top_rows = jnp.take_along_axis(all_rows, sel, axis=-1)
-    top_labels = top_rows - row_offset
 
-    mask = (labels != label_pad).astype(jnp.float32)
-    nll = (logz - label_logit) * mask
-    hit = (top_labels == labels[..., None]).astype(jnp.float32)
-    discounts = 1.0 / (
-        jnp.log(jnp.arange(2, kmax + 2, dtype=jnp.float32)) / jnp.log(2.0)
+    from bert4clickpath_tpu.ops.chunked_eval import ranking_sums_from_topk
+
+    stats = ranking_sums_from_topk(
+        logz, label_logit, top_rows - row_offset, labels, ks, label_pad
     )
-    stats = {"n": jnp.sum(mask), "loss_sum": jnp.sum(nll)}
-    for k in ks:
-        stats[f"recall@{k}_sum"] = jnp.sum(jnp.sum(hit[..., :k], axis=-1) * mask)
-        stats[f"ndcg@{k}_sum"] = jnp.sum(
-            jnp.sum(hit[..., :k] * discounts[:k], axis=-1) * mask
-        )
     if data_axis is not None:
         stats = {k: jax.lax.psum(v, data_axis) for k, v in stats.items()}
     return stats

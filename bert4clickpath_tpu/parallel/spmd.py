@@ -106,6 +106,20 @@ def shard_batch(batch: dict, mesh: Mesh, config: ModelConfig) -> dict:
     )
 
 
+def _check_spmd_supported(config: ModelConfig) -> None:
+    """Features the SPMD forward doesn't wire yet must fail loudly, not
+    silently train/eval without them."""
+    assert config.head.kind == "tied_softmax", "SPMD step uses the tied head"
+    assert not config.head.dense_dims, (
+        "tied-head transform (head.dense_dims) is not wired into the SPMD "
+        "forward yet — use the single-chip step or an empty transform"
+    )
+    assert not config.use_segment_embeddings, (
+        "segment embeddings are not wired into the SPMD forward yet — they "
+        "would train to zero gradient and serve as random noise"
+    )
+
+
 def _encoder_module(config: ModelConfig, remat: bool = False) -> Encoder:
     dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
     return Encoder(
@@ -178,11 +192,7 @@ def make_spmd_train_step(
     Requires head kind 'tied_softmax' and a single (item) sharded feature for
     the projection (the flagship large-catalog config).
     """
-    assert config.head.kind == "tied_softmax", "SPMD step uses the tied head"
-    assert not config.head.dense_dims, (
-        "tied-head transform (head.dense_dims) is not wired into the SPMD "
-        "forward yet — use the single-chip step or an empty transform"
-    )
+    _check_spmd_supported(config)
     encoder = _encoder_module(config, remat)
 
     def step(state: TrainState, batch, rng):
@@ -253,6 +263,7 @@ def make_spmd_eval_step(
     ks=(5, 10),
 ):
     """Jitted sharded eval step: (params, batch) -> stats sums dict."""
+    _check_spmd_supported(config)
     encoder = _encoder_module(config)
 
     def step(params, batch):

@@ -73,6 +73,10 @@ class ServingModel:
         clickstream_transformer.py:346-350) — output becomes
         ``[{"instance_id": ..., "items": [(item, score), ...]}, ...]``.
         """
+        if instance_ids is not None and len(instance_ids) != len(sessions):
+            raise ValueError(
+                f"{len(instance_ids)} instance_ids for {len(sessions)} sessions"
+            )
         cfg = self.config
         vocab = self.vocabs[self._item_feature]
         max_items = cfg.max_len - 3  # [CLS][SEP] ... [SEP]

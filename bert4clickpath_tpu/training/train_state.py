@@ -180,8 +180,8 @@ def make_eval_step(
             table = params["params"][f"embed_{model.config.item_feature}"][
                 "embedding"
             ]
-            v = table.shape[0]
-            chunk = 8192 if v % 8192 == 0 else (4096 if v % 4096 == 0 else 1024)
+            from bert4clickpath_tpu.ops.chunked_eval import pick_chunk
+
             return chunked_eval_stats(
                 gathered,
                 table,
@@ -189,7 +189,7 @@ def make_eval_step(
                 ks=ks,
                 row_offset=NUM_RESERVED_TOKENS,
                 num_valid=chunked_num_valid,
-                chunk=chunk if v % chunk == 0 else v,
+                chunk=pick_chunk(table.shape[0]),
             )
 
         return jax.jit(chunked_step)
