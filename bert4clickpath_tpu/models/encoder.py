@@ -72,6 +72,21 @@ class MultiHeadAttention(nn.Module):
         return dense("wo")(attn)
 
 
+def apply_dropout(mod: nn.Module, x, rate: float, deterministic: bool, impl: str):
+    """Dropout with selectable backend: 'xla' (flax) or 'pallas' (fused
+    in-kernel PRNG, no materialized masks — ops/pallas/dropout.py)."""
+    if deterministic or rate == 0.0:
+        return x
+    if impl == "pallas":
+        from bert4clickpath_tpu.ops.pallas.dropout import fused_dropout
+
+        seed = jax.random.randint(
+            mod.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
+        )
+        return fused_dropout(x, seed, rate)
+    return nn.Dropout(rate)(x, deterministic=False)
+
+
 class EncoderLayer(nn.Module):
     d_model: int
     num_heads: int
@@ -79,19 +94,24 @@ class EncoderLayer(nn.Module):
     dropout_rate: float
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    dropout_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bias, deterministic: bool) -> jnp.ndarray:
         attn = MultiHeadAttention(
             self.d_model, self.num_heads, self.dtype, self.attn_impl, name="mha"
         )(x, bias)
-        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        attn = apply_dropout(
+            self, attn, self.dropout_rate, deterministic, self.dropout_impl
+        )
         # Post-LN residual, eps 1e-6 (reference transformer.py:183-184,202-213)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln1")(x + attn)
         ffn = nn.Dense(self.ffn_dim, dtype=self.dtype, param_dtype=jnp.float32, name="ffn1")(x)
         ffn = nn.relu(ffn)
         ffn = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name="ffn2")(ffn)
-        ffn = nn.Dropout(self.dropout_rate)(ffn, deterministic=deterministic)
+        ffn = apply_dropout(
+            self, ffn, self.dropout_rate, deterministic, self.dropout_impl
+        )
         return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln2")(x + ffn)
 
 
@@ -104,10 +124,11 @@ class Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    dropout_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bias, deterministic: bool) -> jnp.ndarray:
-        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = apply_dropout(self, x, self.dropout_rate, deterministic, self.dropout_impl)
         layer_cls = EncoderLayer
         if self.remat:
             layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
@@ -119,6 +140,7 @@ class Encoder(nn.Module):
                 self.dropout_rate,
                 self.dtype,
                 self.attn_impl,
+                self.dropout_impl,
                 name=f"layer_{i}",
             )(x, bias, deterministic)
         return x

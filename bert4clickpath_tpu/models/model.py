@@ -44,6 +44,7 @@ class ClickstreamModel(nn.Module):
     config: ModelConfig
     attn_impl: str = "xla"  # "xla" | "pallas"
     remat: bool = False
+    dropout_impl: str = "xla"  # "xla" | "pallas" (fused in-kernel PRNG)
 
     @property
     def _dtype(self):
@@ -78,6 +79,7 @@ class ClickstreamModel(nn.Module):
             dtype=self._dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            dropout_impl=self.dropout_impl,
             name="encoder",
         )
         head = cfg.head
