@@ -94,8 +94,10 @@ def make_train_batch(
     b = len(sequences)
     tokens, positions, labels = _empty_batch(b, max_items, max_masked)
     for i, seq in enumerate(sequences):
-        items = np.asarray(seq[:-1], dtype=np.int32)  # drop-last holdout
-        items = items[:max_items]
+        # Drop-last holdout, then keep the most recent window: training must
+        # see the events adjacent to the held-out item (serving.py uses the
+        # same last-window convention), not the oldest prefix.
+        items = np.asarray(seq[:-1], dtype=np.int32)[-max_items:]
         n = len(items)
         row = items + NUM_RESERVED_TOKENS  # label -> model space
         n_masked = int(np.clip(int(n * masked_percentage), 0, max_masked))
@@ -122,8 +124,11 @@ def make_eval_batch(
     b = len(sequences)
     tokens, positions, labels = _empty_batch(b, max_items, max_masked)
     for i, seq in enumerate(sequences):
-        items = np.asarray(seq, dtype=np.int32)[:max_items]
+        # Most-recent window so the masked position is the true last item.
+        items = np.asarray(seq, dtype=np.int32)[-max_items:]
         n = len(items)
+        if n == 0:  # degenerate row: all-LABEL_PAD, drops out of metrics
+            continue
         row = items + NUM_RESERVED_TOKENS
         row[-1] = MASK_ID
         labels[i, 0] = items[-1]

@@ -90,10 +90,11 @@ void build_train_batch(const int32_t* values, const int64_t* offsets,
     }
     const int64_t row = row_indices[i];
     const int64_t start = offsets[row];
-    int64_t n = offsets[row + 1] - start - 1;  // drop-last holdout
-    if (n > max_items) n = max_items;
-    if (n < 0) n = 0;
-    const int32_t* seq = values + start;
+    int64_t full = offsets[row + 1] - start - 1;  // drop-last holdout
+    if (full < 0) full = 0;
+    int64_t n = full > max_items ? max_items : full;
+    // most-recent window (matches cloze.py / serving.py conventions)
+    const int32_t* seq = values + start + (full - n);
     for (int64_t t = 0; t < n; ++t) tok[2 + t] = seq[t] + NUM_RESERVED;
 
     int n_masked = (int)((float)n * masked_percentage);
@@ -136,10 +137,11 @@ void build_eval_batch(const int32_t* values, const int64_t* offsets,
     }
     const int64_t row = row_indices[i];
     const int64_t start = offsets[row];
-    int64_t n = offsets[row + 1] - start;
-    if (n > max_items) n = max_items;
+    int64_t full = offsets[row + 1] - start;
+    int64_t n = full > max_items ? max_items : full;
     if (n <= 0) continue;
-    const int32_t* seq = values + start;
+    // most-recent window so the masked position is the true last item
+    const int32_t* seq = values + start + (full - n);
     for (int64_t t = 0; t < n; ++t) tok[2 + t] = seq[t] + NUM_RESERVED;
     tok[2 + n - 1] = MASK_ID;
     lab[0] = seq[n - 1];

@@ -277,15 +277,17 @@ def _bwd(x, table, labels_model, logz, dnll, row_offset, num_valid,
         pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
     ]
+    # dW accumulates across the inner sweep — keep the buffer f32 so a bf16
+    # table never suffers repeated round-off; cast once at the end.
     dw = pl.pallas_call(
         functools.partial(_bwd_dw_kernel, **common),
         grid=(v // tv, n // tn),
         in_specs=col_specs,
         out_specs=pl.BlockSpec((tv, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((v, d), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((v, d), jnp.float32),
         interpret=_interpret(),
     )(row_start, x, table, labels_model, logz[:, None], dnll[:, None])
-    return dx, dw
+    return dx, dw.astype(table.dtype)
 
 
 # -- public custom-vjp op -------------------------------------------------
@@ -501,12 +503,13 @@ def _bwd_fused(x, table, labels_model, logz, dnll, row_offset, num_valid,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, d), x.dtype),
-            jax.ShapeDtypeStruct((v, d), table.dtype),
+            # f32 so inner-sweep accumulation is exact even for bf16 tables
+            jax.ShapeDtypeStruct((v, d), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((n, d), jnp.float32)],
         interpret=_interpret(),
     )(row_start, x, table, labels_model, logz[:, None], dnll[:, None])
-    return dx, dw
+    return dx, dw.astype(table.dtype)
 
 
 def use_fused_backward(n: int, d: int, vmem_budget: int = 8 * 1024 * 1024) -> bool:

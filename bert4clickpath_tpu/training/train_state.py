@@ -92,6 +92,13 @@ def make_train_step(
     use_fused = (
         fused_ce_num_valid is not None and model.config.head.kind == "tied_softmax"
     )
+    if use_fused and axis_name is not None:
+        raise ValueError(
+            "fused_ce_num_valid computes a locally-normalized masked mean; "
+            "psum-ing its grads under axis_name would sum per-shard means "
+            "(wrong when shard mask counts differ). Use "
+            "parallel.spmd.make_spmd_train_step for the sharded fused path."
+        )
     if use_fused:
         from bert4clickpath_tpu.constants import NUM_RESERVED_TOKENS
         from bert4clickpath_tpu.ops.pallas.fused_ce import (
