@@ -51,6 +51,23 @@ def masked_mean(
     return _global_mean(total, count, axis_name)
 
 
+def softmax_ce_items(
+    logits: jnp.ndarray, labels: jnp.ndarray, label_pad: int = LABEL_PAD
+) -> jnp.ndarray:
+    """Per-position NLL (no reduction, no collectives) — the item-wise inner
+    loss the reference wraps in MaskedLoss (losses.py:18). Exposed so SPMD
+    steps can reduce with explicit psums OUTSIDE autodiff (differentiating
+    through collectives under shard_map(check_vma=False) mis-derives
+    transposes)."""
+    logits = logits.astype(jnp.float32)  # CE in f32 even under bf16 compute
+    safe_labels = jnp.where(labels == label_pad, 0, labels)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    label_logit = jnp.take_along_axis(
+        logits, safe_labels[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    return logz - label_logit
+
+
 def masked_softmax_cross_entropy(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
@@ -64,14 +81,34 @@ def masked_softmax_cross_entropy(
     before the gather — they are masked out of the mean, mirroring the
     reference's pad-to-zero trick (losses.py:57-58).
     """
-    logits = logits.astype(jnp.float32)  # CE in f32 even under bf16 compute
-    safe_labels = jnp.where(labels == label_pad, 0, labels)
-    logz = jax.nn.logsumexp(logits, axis=-1)
-    label_logit = jnp.take_along_axis(
-        logits, safe_labels[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
-    nll = logz - label_logit
+    nll = softmax_ce_items(logits, labels, label_pad)
     return masked_mean(nll, labels, label_pad, axis_name=axis_name)
+
+
+def binary_ce_items(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_pad: int = LABEL_PAD,
+    pos_weight: Optional[float] = None,
+):
+    """Per-position weighted BCE pieces (no reduction, no collectives).
+
+    Returns ``(nll, weights, scale)``: per-item loss, per-item weights (None
+    without pos_weight), and the static (pos_weight+1)/2 normalizer that puts
+    the weighted mean back on the unweighted scale (reference
+    losses.py:71-96). SPMD steps reduce these with psums outside autodiff.
+    """
+    logits = logits.astype(jnp.float32)
+    labels_f = labels.astype(jnp.float32)
+    safe = jnp.where(labels_f == label_pad, 0.0, labels_f)
+    # Stable BCE-with-logits: max(x,0) - x*z + log1p(exp(-|x|))
+    nll = jnp.maximum(logits, 0.0) - logits * safe + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    weights = None
+    scale = 1.0
+    if pos_weight is not None:
+        weights = jnp.where(safe == 1.0, jnp.float32(pos_weight), 1.0)
+        scale = (pos_weight + 1.0) / 2.0
+    return nll, weights, scale
 
 
 def masked_binary_cross_entropy(
@@ -88,18 +125,9 @@ def masked_binary_cross_entropy(
     ``(pos_weight + 1) / 2`` to stay on the unweighted scale
     (losses.py:71-96).
     """
-    logits = logits.astype(jnp.float32)
-    labels_f = labels.astype(jnp.float32)
-    safe = jnp.where(labels_f == label_pad, 0.0, labels_f)
-    # Stable BCE-with-logits: max(x,0) - x*z + log1p(exp(-|x|))
-    nll = jnp.maximum(logits, 0.0) - logits * safe + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    weights = None
-    if pos_weight is not None:
-        weights = jnp.where(safe == 1.0, jnp.float32(pos_weight), 1.0)
+    nll, weights, scale = binary_ce_items(logits, labels, label_pad, pos_weight)
     loss = masked_mean(nll, labels, label_pad, weights=weights, axis_name=axis_name)
-    if pos_weight is not None:
-        loss = loss / ((pos_weight + 1.0) / 2.0)
-    return loss
+    return loss / scale
 
 
 def masked_multilabel_cross_entropy(

@@ -29,10 +29,11 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bert4clickpath_tpu.config import ModelConfig
-from bert4clickpath_tpu.constants import NUM_RESERVED_TOKENS
+from bert4clickpath_tpu.constants import LABEL_PAD, NUM_RESERVED_TOKENS, SEP_ID
 from bert4clickpath_tpu.models.encoder import Encoder
+from bert4clickpath_tpu.models.model import ClickstreamModel
 from bert4clickpath_tpu.models.positional import sinusoidal_positions
-from bert4clickpath_tpu.ops.masking import padding_bias
+from bert4clickpath_tpu.ops.masking import padding_bias, segment_ids
 from bert4clickpath_tpu.parallel import embedding as emb_ops
 from bert4clickpath_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from bert4clickpath_tpu.training.train_state import TrainState
@@ -107,16 +108,14 @@ def shard_batch(batch: dict, mesh: Mesh, config: ModelConfig) -> dict:
 
 
 def _check_spmd_supported(config: ModelConfig) -> None:
-    """Features the SPMD forward doesn't wire yet must fail loudly, not
-    silently train/eval without them."""
-    assert config.head.kind == "tied_softmax", "SPMD step uses the tied head"
-    assert not config.head.dense_dims, (
-        "tied-head transform (head.dense_dims) is not wired into the SPMD "
-        "forward yet — use the single-chip step or an empty transform"
-    )
-    assert not config.use_segment_embeddings, (
-        "segment embeddings are not wired into the SPMD forward yet — they "
-        "would train to zero gradient and serve as random noise"
+    """The vocab-sharded step requires the tied head (the projection shards
+    with the table). Every other model feature — tied transform, segment
+    embeddings, segment routing — is wired; MLP-head configs use the pure
+    data-parallel tier (make_dp_train_step) instead, matching the
+    reference's MirroredStrategy scope (source/main.py:46-57)."""
+    assert config.head.kind == "tied_softmax", (
+        "the vocab-sharded SPMD step uses the tied head; for MLP-softmax/"
+        "binary/multilabel heads use make_dp_train_step (pure data parallel)"
     )
 
 
@@ -136,16 +135,21 @@ def _encoder_module(config: ModelConfig, remat: bool = False) -> Encoder:
 def _forward_gathered(
     config: ModelConfig,
     encoder: Encoder,
+    facade: ClickstreamModel,
     params: dict,
     features: dict,
     head_positions: jnp.ndarray,
     rng,
     deterministic: bool,
 ):
-    """Shared forward to gathered head inputs, inside shard_map.
+    """Shared forward to (transformed) head inputs, inside shard_map.
 
-    Returns (gathered (B, P, d_model), item table shard). The item feature's
+    Returns (gathered (B, P, d_item), item table shard). The item feature's
     table is row-sharded; any additional features use replicated tables.
+    Mirrors ClickstreamModel.gather_head_inputs feature-for-feature: segment
+    embeddings, mask/segment routing, and the tied-head transform (applied
+    through the facade's own flax modules so numerics match the single-chip
+    path exactly).
     """
     dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
     names = list(config.features.keys())
@@ -168,14 +172,33 @@ def _forward_gathered(
     else:
         pos = jnp.asarray(sinusoidal_positions(config.max_len, config.d_model))
     x = x + pos[: first_tokens.shape[1]].astype(dtype)[None]
+    if config.use_segment_embeddings:
+        seg = jnp.clip(segment_ids(first_tokens, SEP_ID), 0, config.max_segments - 1)
+        x = x + jnp.take(
+            params["segment_embed"]["embedding"].astype(dtype), seg, axis=0
+        )
     bias = padding_bias(first_tokens)
     rngs = None if deterministic else {"dropout": rng}
     h = encoder.apply(
         {"params": params["encoder"]}, x, bias, deterministic, rngs=rngs
     )
-    gathered = jnp.take_along_axis(
-        h, head_positions[..., None].astype(jnp.int32), axis=1
-    )
+    if config.routing == "segment":
+        start, end = config.segment_bounds
+        gathered = h[:, start:end]
+    else:
+        gathered = jnp.take_along_axis(
+            h, head_positions[..., None].astype(jnp.int32), axis=1
+        )
+    if config.head.kind == "tied_softmax" and (
+        config.head.dense_dims
+        or config.d_model != config.features[config.item_feature].embedding_dim
+    ):
+        # BERT-MLM transform + width-matching projection — the facade's own
+        # modules run on the replicated transform params (pure local math,
+        # so autodiff inside shard_map is safe here)
+        gathered = facade.apply(
+            {"params": params}, gathered, method="apply_tied_transform"
+        )
     return gathered.astype(jnp.float32), table_shard
 
 
@@ -194,6 +217,7 @@ def make_spmd_train_step(
     """
     _check_spmd_supported(config)
     encoder = _encoder_module(config, remat)
+    facade = ClickstreamModel(config)
 
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -203,6 +227,7 @@ def make_spmd_train_step(
             gathered, table_shard = _forward_gathered(
                 config,
                 encoder,
+                facade,
                 params,
                 batch["features"],
                 batch["head_positions"],
@@ -265,11 +290,13 @@ def make_spmd_eval_step(
     """Jitted sharded eval step: (params, batch) -> stats sums dict."""
     _check_spmd_supported(config)
     encoder = _encoder_module(config)
+    facade = ClickstreamModel(config)
 
     def step(params, batch):
         gathered, table_shard = _forward_gathered(
             config,
             encoder,
+            facade,
             params,
             batch["features"],
             batch["head_positions"],
@@ -307,3 +334,176 @@ def _stats_specs(ks):
     for k in ks:
         keys += [f"recall@{k}_sum", f"ndcg@{k}_sum"]
     return {k: P() for k in keys}
+
+
+# -- pure data-parallel tier (any head kind) ------------------------------
+#
+# The reference's only distribution story is MirroredStrategy over the
+# MLP-softmax-head model (source/main.py:46-57,262): pure DP, params
+# replicated, gradients all-reduced. This is its explicit equivalent — and
+# it works for EVERY head kind because nothing shards over the model axis.
+#
+# Collective discipline: autodiff never sees a psum (shard_map with
+# check_vma=False mis-derives collective transposes — see the hand-written
+# VJPs in parallel/embedding.py). The loss is computed as LOCAL masked
+# sums, differentiated locally, and the psums (loss_sum, count, grads)
+# happen outside value_and_grad; the global mean's gradient is then
+# psum(d local_sum)/psum(count) by linearity.
+
+
+def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Fully replicate a TrainState over the mesh (the DP placement)."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), state
+    )
+
+
+def _dp_sums_from_logits(head_kind, logits, labels, pos_weight):
+    """(loss_sum, count, scale) on this shard — no collectives."""
+    from bert4clickpath_tpu.ops import losses as losses_lib
+
+    if head_kind in ("softmax", "tied_softmax"):
+        items = losses_lib.softmax_ce_items(logits, labels)
+        weights, scale = None, 1.0
+    else:
+        items, weights, scale = losses_lib.binary_ce_items(
+            logits, labels, pos_weight=pos_weight
+        )
+    mask = (labels != LABEL_PAD).astype(items.dtype)
+    if weights is not None:
+        items = items * weights
+    return jnp.sum(items * mask), jnp.sum(mask), scale
+
+
+def _dp_local_sums(model, batch, rng, params, pos_weight):
+    """(loss_sum, (count, scale)) on this shard — no collectives."""
+    logits = model.apply(
+        params,
+        batch["features"],
+        batch.get("head_positions"),
+        deterministic=rng is None,
+        rngs=None if rng is None else {"dropout": rng},
+    )
+    total, count, scale = _dp_sums_from_logits(
+        model.config.head.kind, logits, batch["labels"], pos_weight
+    )
+    return total, (count, scale)
+
+
+def make_dp_train_step(
+    model: ClickstreamModel,
+    mesh: Mesh,
+    tx: optax.GradientTransformation,
+    schedule: Callable,
+    pos_weight: Optional[float] = None,
+):
+    """Jitted data-parallel train step for any head kind.
+
+    ``(state, batch, rng) -> (state, loss)`` with the same contract as the
+    single-chip ``make_train_step``: state holds the FULL variables dict
+    (``{'params': ...}``), batch rows shard over the ``data`` axis, params
+    replicate. Gradient = psum(local-sum grads) / psum(mask count), exactly
+    the single-device global-mean gradient.
+    """
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+
+        def total_fn(params):
+            return _dp_local_sums(model, batch, rng, params, pos_weight)
+
+        (total, (count, scale)), grads = jax.value_and_grad(
+            total_fn, has_aux=True
+        )(state.params)
+        total = jax.lax.psum(total, DATA_AXIS)
+        count = jax.lax.psum(count, DATA_AXIS)
+        denom = jnp.maximum(count, 1.0) * scale
+        loss = total / denom
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        grads = jax.tree.map(lambda g: g / denom, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        lr = schedule(state.step) * state.lr_scale
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state
+        )
+        return new_state, loss
+
+    def sharded(state, batch, rng):
+        r_specs = jax.tree.map(lambda _: P(), state)
+        return jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(r_specs, batch_specs(model.config), P()),
+            out_specs=(r_specs, P()),
+            check_vma=False,
+        )(state, batch, rng)
+
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_dp_eval_step(
+    model: ClickstreamModel,
+    mesh: Mesh,
+    ks=(5, 10),
+    pos_weight: Optional[float] = None,
+):
+    """Jitted data-parallel eval step: (params, batch) -> global stat sums.
+
+    Same stats contract as the single-chip ``make_eval_step`` (sums + n, so
+    the trainer's cross-batch aggregation is exact); psums run outside any
+    autodiff, so plain collectives are safe here.
+    """
+    from bert4clickpath_tpu.ops import metrics as metrics_lib
+
+    head_kind = model.config.head.kind
+
+    def step(params, batch):
+        logits = model.apply(
+            params,
+            batch["features"],
+            batch.get("head_positions"),
+            deterministic=True,
+        )
+        labels = batch["labels"]
+        total, count, scale = _dp_sums_from_logits(
+            head_kind, logits, labels, pos_weight
+        )
+        stats = {
+            "loss_sum": jax.lax.psum(total / scale, DATA_AXIS),
+            "n": jax.lax.psum(count, DATA_AXIS),
+        }
+        if head_kind in ("softmax", "tied_softmax"):
+            rstats = metrics_lib.ranking_stats(logits, labels, ks=ks)
+            rstats = metrics_lib.psum_stats(rstats, DATA_AXIS)
+            rstats.pop("n")
+            stats.update(rstats)
+        elif head_kind == "binary":
+            bstats = metrics_lib.binary_stats(logits, labels)
+            bstats = metrics_lib.psum_stats(bstats, DATA_AXIS)
+            bstats.pop("n")
+            stats.update(bstats)
+        return stats
+
+    def out_specs():
+        keys = ["loss_sum", "n"]
+        if head_kind in ("softmax", "tied_softmax"):
+            for k in ks:
+                keys += [f"recall@{k}_sum", f"ndcg@{k}_sum"]
+        elif head_kind == "binary":
+            keys += ["positives_sum", "pred_positives_sum", "tp_sum"]
+        return {k: P() for k in keys}
+
+    def sharded(params, batch):
+        p_specs = jax.tree.map(lambda _: P(), params)
+        return jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(p_specs, batch_specs(model.config)),
+            out_specs=out_specs(),
+            check_vma=False,
+        )(params, batch)
+
+    return jax.jit(sharded)

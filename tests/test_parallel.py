@@ -275,6 +275,180 @@ def test_spmd_step_update_matches_manual_single_device():
     jax.tree.map(compare, jax.device_get(grads), got, jax.device_get(want))
 
 
+def test_spmd_transform_and_segments_match_single_device():
+    """Tied-head transform (incl. the width-matching tied_proj) and segment
+    embeddings must flow through the SPMD forward identically to the
+    single-chip model (the round-1 asserts are gone)."""
+    mesh, ds, vocab, _ = _spmd_setup()
+    rows = spmd.padded_vocab_rows(vocab.model_vocab_size, 4)
+    cfg = ModelConfig(
+        features={"items": FeatureConfig(rows, 16)},
+        num_layers=1,
+        num_heads=2,
+        ffn_dim=32,
+        max_len=23,
+        dropout_rate=0.0,
+        use_segment_embeddings=True,
+        # last width 24 != d_item 16 -> exercises tied_proj too
+        head=HeadConfig("tied_softmax", dense_dims=(24,)),
+    )
+    model = ClickstreamModel(cfg)
+    b = _device_batch(next(ds.train_batches(8, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+    )["params"]
+    # make segment embeddings distinctive so dropping them would show
+    params["segment_embed"]["embedding"] = (
+        params["segment_embed"]["embedding"] + 0.7
+    )
+
+    logits = model.apply({"params": params}, b["features"], b["head_positions"])
+    want = float(
+        masked_softmax_cross_entropy(
+            logits[..., : vocab.label_vocab_size], b["labels"]
+        )
+    )
+    params0 = jax.device_get(params)  # host snapshot: the step donates
+    tcfg = TrainConfig()
+    tx = make_optimizer(tcfg)
+    state = spmd.shard_state(TrainState.create(params, tx), mesh, cfg)
+    step = spmd.make_spmd_train_step(
+        cfg, mesh, tx, schedules.constant(1e-2), vocab.label_vocab_size
+    )
+    new_state, loss = step(
+        state, spmd.shard_batch(b, mesh, cfg), jax.random.PRNGKey(1)
+    )
+    np.testing.assert_allclose(float(loss), want, rtol=2e-4)
+    # the transform/segment params must actually receive gradient: one step
+    # at lr=1e-2 must move them
+    got = jax.device_get(new_state.params)
+    assert not np.allclose(
+        got["tied_transform_0"]["kernel"], params0["tied_transform_0"]["kernel"]
+    )
+    assert not np.allclose(
+        got["segment_embed"]["embedding"], params0["segment_embed"]["embedding"]
+    )
+
+    # eval goes through the same forward
+    ev = spmd.make_spmd_eval_step(cfg, mesh, vocab.label_vocab_size)
+    stats = ev(params0, spmd.shard_batch(b, mesh, cfg))
+    from bert4clickpath_tpu.ops.metrics import ranking_stats
+
+    dense = ranking_stats(
+        logits[..., : vocab.label_vocab_size], b["labels"], ks=(5, 10)
+    )
+    np.testing.assert_allclose(
+        float(stats["ndcg@10_sum"]), float(dense["ndcg@10_sum"]), rtol=1e-5
+    )
+
+
+def _parity_head_setup(mesh_shape=(8, 1)):
+    mesh = _mesh(*mesh_shape)
+    gen = ClickStreamGenerator(n_items=22, session_cohesiveness=200, seed=0)
+    items, _ = gen.generate_sessions(64)
+    vocab = gen.item_vocab()
+    ds = ClozeDataset(items, vocab, max_items=20)
+    cfg = ModelConfig(
+        features={"items": FeatureConfig(vocab.model_vocab_size, 16)},
+        num_layers=1,
+        num_heads=2,
+        ffn_dim=32,
+        max_len=23,
+        dropout_rate=0.0,
+        # the reference's own model: MLP softmax head (source/main.py:262)
+        head=HeadConfig("softmax", (32, 24), vocab.label_vocab_size),
+    )
+    return mesh, ds, vocab, cfg
+
+
+def test_dp_parity_head_step_matches_single_device():
+    """Pure-DP step over 8 devices == single-device global-mean Adam step
+    for the reference parity MLP-softmax model (its MirroredStrategy
+    equivalent, source/main.py:46-57)."""
+    import optax
+
+    mesh, ds, vocab, cfg = _parity_head_setup()
+    tcfg = TrainConfig()
+    model = ClickstreamModel(cfg)
+    b = _device_batch(next(ds.train_batches(8, seed=0)))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+    )
+    tx = make_optimizer(tcfg)
+    lr = 1e-2
+
+    def manual_loss(v):
+        logits = model.apply(v, b["features"], b["head_positions"])
+        return masked_softmax_cross_entropy(logits, b["labels"])
+
+    want_loss = float(manual_loss(variables))
+    grads = jax.grad(manual_loss)(variables)
+    updates, _ = tx.update(grads, tx.init(variables), variables)
+    want = optax.apply_updates(variables, jax.tree.map(lambda u: u * lr, updates))
+
+    state = spmd.replicate_state(TrainState.create(variables, tx), mesh)
+    step = spmd.make_dp_train_step(model, mesh, tx, schedules.constant(lr))
+    new_state, loss = step(
+        state, spmd.shard_batch(b, mesh, cfg), jax.random.PRNGKey(1)
+    )
+    np.testing.assert_allclose(float(loss), want_loss, rtol=2e-5)
+
+    def compare(g, a, bb):
+        if float(np.abs(np.asarray(g)).max()) < 1e-6:
+            return  # zero-grad leaves: Adam amplifies float noise to ±lr
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=5e-4, atol=1e-6
+        )
+
+    jax.tree.map(
+        compare,
+        jax.device_get(grads),
+        jax.device_get(new_state.params),
+        jax.device_get(want),
+    )
+
+
+def test_dp_eval_step_matches_single_device():
+    from bert4clickpath_tpu.training.train_state import make_eval_step
+
+    mesh, ds, vocab, cfg = _parity_head_setup()
+    model = ClickstreamModel(cfg)
+    b = _device_batch(next(ds.train_batches(8, seed=0)))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+    )
+    ev = spmd.make_dp_eval_step(model, mesh)
+    stats = {k: float(np.asarray(v)) for k, v in ev(variables, spmd.shard_batch(b, mesh, cfg)).items()}
+    single = make_eval_step(model)(variables, b)
+    for k in ("n", "loss_sum", "recall@10_sum", "ndcg@10_sum"):
+        np.testing.assert_allclose(
+            stats[k], float(np.asarray(single[k])), rtol=1e-4, err_msg=k
+        )
+
+
+def test_dp_training_learns_parity_head():
+    mesh, ds, vocab, cfg = _parity_head_setup()
+    tcfg = TrainConfig()
+    model = ClickstreamModel(cfg)
+    b0 = _device_batch(next(ds.train_batches(16, seed=0)))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"]
+    )
+    tx = make_optimizer(tcfg)
+    state = spmd.replicate_state(TrainState.create(variables, tx), mesh)
+    step = spmd.make_dp_train_step(model, mesh, tx, schedules.constant(1e-2))
+    it = ds.train_batches(16, seed=1)
+    first = None
+    for _ in range(30):
+        state, loss = step(
+            state, spmd.shard_batch(_device_batch(next(it)), mesh, cfg),
+            jax.random.PRNGKey(1),
+        )
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first
+
+
 def test_spmd_learned_positions_match_single_device():
     """The SPMD forward must honor positional='learned' (was silently
     falling back to sinusoidal)."""
