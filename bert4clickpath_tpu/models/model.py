@@ -45,6 +45,10 @@ class ClickstreamModel(nn.Module):
     attn_impl: str = "xla"  # "xla" | "pallas"
     remat: bool = False
     dropout_impl: str = "xla"  # "xla" | "pallas" (fused in-kernel PRNG)
+    # "pallas": fused gather+scale+pos-add kernel (ops/pallas/gather.py) for
+    # single-feature models — one HBM write of the (B, L, D) activation
+    # instead of three read/write passes
+    embed_impl: str = "xla"  # "xla" | "pallas"
 
     @property
     def _dtype(self):
@@ -125,18 +129,40 @@ class ClickstreamModel(nn.Module):
         names = list(cfg.features.keys())
         first = features[names[0]]
         bias = padding_bias(first, jnp.float32)
-        # Per-feature embed, concat on the embedding axis (multi-variable
-        # events; reference transformer.py:384-388).
-        embedded = jnp.concatenate(
-            [self.embeds[n](features[n]).astype(self._dtype) for n in names], axis=-1
-        )
-        embedded = embedded * jnp.sqrt(jnp.asarray(cfg.d_model, self._dtype))
         seq_len = first.shape[1]
         if cfg.positional == "learned":
             pos = self.positions(seq_len)
         else:
             pos = jnp.asarray(sinusoidal_positions(cfg.max_len, cfg.d_model))[:seq_len]
-        embedded = embedded + pos.astype(self._dtype)[None]
+        tile = None
+        if self.embed_impl == "pallas" and len(names) == 1:
+            from bert4clickpath_tpu.ops.pallas.gather import pick_tile
+
+            tile = pick_tile(first.size)
+        if tile is not None:
+            # Fused gather+scale+pos-add: one kernel, one HBM write of the
+            # (B, L, D) activation (vs gather + 2 elementwise passes).
+            from bert4clickpath_tpu.ops.pallas.gather import fused_embed_scale_pos
+
+            import math
+
+            embedded = fused_embed_scale_pos(
+                self.embeds[names[0]].embedding,
+                features[names[0]],
+                pos,
+                math.sqrt(cfg.d_model),
+                self._dtype,
+                tile,
+            )
+        else:
+            # Per-feature embed, concat on the embedding axis (multi-variable
+            # events; reference transformer.py:384-388).
+            embedded = jnp.concatenate(
+                [self.embeds[n](features[n]).astype(self._dtype) for n in names],
+                axis=-1,
+            )
+            embedded = embedded * jnp.sqrt(jnp.asarray(cfg.d_model, self._dtype))
+            embedded = embedded + pos.astype(self._dtype)[None]
         if cfg.use_segment_embeddings:
             # cumulative-SEP markers: [CLS][SEP] s1 [SEP] s2 -> 0 1.. 2..
             from bert4clickpath_tpu.constants import SEP_ID

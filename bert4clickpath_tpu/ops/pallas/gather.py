@@ -74,6 +74,15 @@ def _gather_kernel(ids_ref, pos_ref, table_ref, out_ref, row_buf, sem, *, tile, 
     out_ref[:] = (acc * scale + pos_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
 
 
+def pick_tile(n: int) -> int | None:
+    """Largest supported row tile dividing the flattened token count, or
+    None when the shape can't tile (caller falls back to the XLA path)."""
+    for t in (256, 128, 64, 32, 16, 8):
+        if n % t == 0:
+            return t
+    return None
+
+
 def fused_gather_scale_pos(
     table: jnp.ndarray,  # (V, D)
     ids: jnp.ndarray,  # (B, L) int32 row ids

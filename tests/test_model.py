@@ -252,3 +252,49 @@ def test_tied_multifeature_projection():
     assert "tied_proj" in params["params"]
     logits = model.apply(params, feats, pos)
     assert logits.shape == (3, 4, 40)
+
+
+def test_embed_impl_pallas_matches_xla():
+    """embed_impl='pallas' (fused gather+scale+pos kernel) must match the
+    XLA embed path in forward and gradients — interpret mode on CPU."""
+    # b*l = 4*24 = 96 -> tile 32
+    cfg = _cfg(max_len=24, positional="learned")
+    feats, positions = _batch(b=4, l=24)
+    m_xla = ClickstreamModel(cfg, embed_impl="xla")
+    m_pl = ClickstreamModel(cfg, embed_impl="pallas")
+    params = m_xla.init({"params": jax.random.PRNGKey(0)}, feats, positions)
+
+    want = m_xla.apply(params, feats, positions)
+    got = m_pl.apply(params, feats, positions)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    def loss(m):
+        def f(p):
+            out = m.apply(p, feats, positions)
+            return jnp.sum(out * out)
+        return jax.grad(f)(params)
+
+    g_want, g_got = loss(m_xla), loss(m_pl)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        g_got,
+        g_want,
+    )
+
+
+def test_embed_impl_pallas_falls_back_multifeature():
+    """Multi-feature models silently use the XLA concat path."""
+    cfg = _cfg(
+        features={
+            "items": FeatureConfig(51, 12),
+            "actions": FeatureConfig(15, 4),
+        },
+    )
+    feats, positions = _batch(b=2, l=23)
+    feats["actions"] = jnp.minimum(feats["items"], 14)
+    model = ClickstreamModel(cfg, embed_impl="pallas")
+    params = model.init({"params": jax.random.PRNGKey(0)}, feats, positions)
+    out = model.apply(params, feats, positions)
+    assert out.shape[-1] == 40
