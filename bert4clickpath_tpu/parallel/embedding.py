@@ -211,39 +211,6 @@ def sharded_top_k(
     return top_vals, top_idx
 
 
-def sharded_ranking_stats(
-    x: jnp.ndarray,
-    table_shard: jnp.ndarray,
-    labels: jnp.ndarray,
-    ks=(5, 10),
-    model_axis: str = "model",
-    data_axis: Optional[str] = "data",
-    label_pad: int = LABEL_PAD,
-    row_offset: int = 0,
-    num_valid: Optional[int] = None,
-) -> dict[str, jnp.ndarray]:
-    """recall@k / NDCG@k sums computed against the sharded full catalog."""
-    idx, _ = shard_info(model_axis)
-    logits_local = sharded_logits_local(x, table_shard, idx, row_offset, num_valid)
-    kmax = max(ks)
-    _, top_idx = sharded_top_k(logits_local, kmax, model_axis)  # (B, P, kmax)
-    top_idx = top_idx - row_offset  # back to label space
-    mask = (labels != label_pad).astype(jnp.float32)
-    hit = (top_idx == labels[..., None]).astype(jnp.float32)
-    discounts = 1.0 / (
-        jnp.log(jnp.arange(2, kmax + 2, dtype=jnp.float32)) / jnp.log(2.0)
-    )
-    stats = {"n": jnp.sum(mask)}
-    for k in ks:
-        stats[f"recall@{k}_sum"] = jnp.sum(jnp.sum(hit[..., :k], axis=-1) * mask)
-        stats[f"ndcg@{k}_sum"] = jnp.sum(
-            jnp.sum(hit[..., :k] * discounts[:k], axis=-1) * mask
-        )
-    if data_axis is not None:
-        stats = {k: jax.lax.psum(v, data_axis) for k, v in stats.items()}
-    return stats
-
-
 def _eval_chunk(v_local: int) -> int:
     from bert4clickpath_tpu.ops.chunked_eval import pick_chunk
 
@@ -263,11 +230,11 @@ def sharded_chunked_eval_stats(
 ) -> dict[str, jnp.ndarray]:
     """Full-catalog eval stats with per-shard *chunked* scanning.
 
-    Unlike :func:`sharded_ranking_stats` (which materializes the (B, P,
-    V_local) tile), each shard streams its rows in chunks
-    (ops/chunked_eval.py) — eval works at 10M rows/shard. Cross-shard
-    combine: global logsumexp over shard-local logz, psum label logit,
-    all_gather top-k candidates.
+    The ONLY exported sharded eval path: each shard streams its rows in
+    chunks (ops/chunked_eval.py) so nothing ever materializes a (B, P,
+    V_local) tile — eval works at 10M rows/shard. Cross-shard combine:
+    global logsumexp over shard-local logz, psum label logit, all_gather
+    top-k candidates.
     """
     from bert4clickpath_tpu.ops.chunked_eval import chunked_scores
 

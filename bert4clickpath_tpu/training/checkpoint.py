@@ -47,6 +47,7 @@ def save_checkpoint(directory: str, state: Any, step: int, block: bool = True) -
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"step_{step:08d}")
     c = _ckptr()
+    c.wait_until_finished()  # at most one async save in flight
     c.save(path, state, force=True)
     if block:
         c.wait_until_finished()

@@ -7,9 +7,11 @@ Replaces Keras ``model.fit`` + callbacks (reference source/main.py:123-167):
 * ReduceLROnPlateau(patience=10, factor=0.317) — via the state's
   ``lr_scale`` field (no retrace);
 * EarlyStopping(patience=30) on val_loss;
-* best-checkpoint save + best serving export;
-* metric history as JSONL (the TB-scalar replacement; point
-  ``jax.profiler`` at the step loop for traces).
+* best-checkpoint save (async — the orbax write overlaps the next epoch,
+  fit() waits at the end) + best serving export;
+* metric history as JSONL plus TensorBoard event files under
+  ``model_dir/tensorboard`` (reference source/main.py:144-149) including
+  the effective LR (LRTensorBoard, training_utils.py:77-84).
 
 Host-0-only side effects; metric sums are exact global values by
 construction (losses/metrics psum when ``axis_name`` is set).
@@ -42,6 +44,8 @@ class Trainer:
         to_device: Callable = lambda b: b,
         export_fn: Optional[Callable] = None,
         is_host0: bool = True,
+        lr_fn: Optional[Callable] = None,
+        tensorboard: bool = True,
     ):
         """
         train_step: (state, batch, rng) -> (state, loss)
@@ -49,6 +53,9 @@ class Trainer:
         to_device: ClozeBatch -> the batch dict the steps expect (handles
             device_put / sharding in the pjit case)
         export_fn: params -> None, called when val_loss improves
+        lr_fn: step -> base LR (the schedule); logged as ``lr`` scaled by
+            the plateau ``lr_scale`` (reference LRTensorBoard parity)
+        tensorboard: also write TB event files under model_dir/tensorboard
         """
         self.train_step = train_step
         self.eval_step = eval_step
@@ -57,7 +64,13 @@ class Trainer:
         self.to_device = to_device
         self.export_fn = export_fn
         self.is_host0 = is_host0
+        self.lr_fn = lr_fn
         self.history: list[dict] = []
+        self._tb = None
+        if tensorboard and model_dir and is_host0:
+            from bert4clickpath_tpu.utils.tb import EventWriter
+
+            self._tb = EventWriter(os.path.join(model_dir, "tensorboard"))
 
     # -- logging ----------------------------------------------------------
     def _log(self, record: dict):
@@ -73,6 +86,10 @@ class Trainer:
             os.makedirs(self.model_dir, exist_ok=True)
             with open(os.path.join(self.model_dir, "history.jsonl"), "a") as f:
                 f.write(json.dumps(record) + "\n")
+        if self._tb is not None:
+            scalars = {k: v for k, v in record.items() if k not in ("epoch", "step")}
+            self._tb.scalars(scalars, record.get("step", len(self.history)))
+            self._tb.flush()
 
     # -- evaluation -------------------------------------------------------
     def evaluate(self, params, eval_batches: Iterator) -> dict[str, float]:
@@ -121,6 +138,10 @@ class Trainer:
                 "epoch_seconds": round(dt, 3),
                 "lr_scale": float(np.asarray(state.lr_scale)),
             }
+            if self.lr_fn is not None:
+                record["lr"] = float(
+                    np.asarray(self.lr_fn(record["step"]))
+                ) * record["lr_scale"]
             for k, v in val.items():
                 if k not in ("loss", "n"):
                     record[f"val_{k}"] = float(v)
@@ -137,10 +158,14 @@ class Trainer:
                 epochs_since_best = 0
                 epochs_since_plateau_cut = 0
                 if self.model_dir and self.is_host0:
+                    # async: the orbax commit overlaps the next epoch's
+                    # compute; wait_until_finished inside save_checkpoint's
+                    # next call (orbax serializes) and at fit() end
                     ckpt_lib.save_checkpoint(
                         os.path.join(self.model_dir, "ckpts"),
                         jax.device_get(state),
                         int(np.asarray(state.step)),
+                        block=False,
                     )
                 if self.export_fn is not None and self.is_host0:
                     self.export_fn(jax.device_get(state.params))
@@ -157,4 +182,8 @@ class Trainer:
                 if epochs_since_best >= cfg.early_stopping_patience:
                     self._log({"epoch": epoch, "early_stop": True})
                     break
+        if self.model_dir and self.is_host0:
+            ckpt_lib.wait_until_finished()  # drain any in-flight async save
+        if self._tb is not None:
+            self._tb.close()
         return state

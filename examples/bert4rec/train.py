@@ -132,6 +132,7 @@ def main(argv=None):
     p.add_argument("--monitor", default="val_loss")
     p.add_argument("--monitor_mode", default="min", choices=["min", "max"])
     p.add_argument("--patience", type=int, default=30)
+    p.add_argument("--plateau_patience", type=int, default=10)
     p.add_argument(
         "--schedule", default="constant", choices=["constant", "rsqrt_warmup"]
     )
@@ -161,6 +162,7 @@ def main(argv=None):
         monitor=args.monitor,
         monitor_mode=args.monitor_mode,
         early_stopping_patience=args.patience,
+        plateau_patience=args.plateau_patience,
     )
 
     model = ClickstreamModel(cfg)
@@ -218,6 +220,7 @@ def main(argv=None):
         model_dir=args.model_dir,
         to_device=to_device,
         export_fn=export_fn,
+        lr_fn=schedule,
     )
     eval_limit = args.eval_batches or None
     state = trainer.fit(
