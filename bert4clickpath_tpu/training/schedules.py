@@ -23,7 +23,7 @@ def rsqrt_warmup(d_model: int, warmup_steps: int = 4000, scale: float = 1.0):
     """lr = scale * rsqrt(d_model) * min(rsqrt(step), step * warmup^-1.5)."""
 
     def schedule(step):
-        step = jnp.maximum(step.astype(jnp.float32), 1.0)
+        step = jnp.maximum(jnp.asarray(step, jnp.float32), 1.0)
         arg1 = 1.0 / jnp.sqrt(step)
         arg2 = step * (warmup_steps ** -1.5)
         return scale * (1.0 / jnp.sqrt(jnp.float32(d_model))) * jnp.minimum(arg1, arg2)
@@ -38,7 +38,7 @@ def exponential_decay_to_floor(
     training_utils.py:39-59)."""
 
     def schedule(step):
-        step = step.astype(jnp.float32)
+        step = jnp.asarray(step, jnp.float32)
         return (initial_lr - floor_lr) * jnp.power(
             decay_rate, step / decay_steps
         ) + floor_lr

@@ -218,7 +218,9 @@ def make_eval_step(
                 rstats = metrics_lib.psum_stats(rstats, axis_name)
             rstats.pop("n")
             stats.update(rstats)
-        elif head_kind == "binary":
+        elif head_kind in ("binary", "multilabel"):
+            # binary_stats is elementwise, so it applies to (B, C) multi-hot
+            # labels unchanged (per-class counts pooled)
             bstats = metrics_lib.binary_stats(logits, labels)
             if axis_name is not None:
                 bstats = metrics_lib.psum_stats(bstats, axis_name)

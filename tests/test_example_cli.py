@@ -29,3 +29,31 @@ def test_train_cli_simulated(tmp_path, preset, extra):
     assert "done" in out.stdout
     assert (tmp_path / preset / "history.jsonl").exists()
     assert (tmp_path / preset / "export" / "model_config.json").exists()
+
+
+@pytest.mark.parametrize("script,extra", [
+    (
+        os.path.join("examples", "chained", "train.py"),
+        ["--n_items", "60", "--n_sessions", "200", "--max_hist", "10"],
+    ),
+    (
+        os.path.join("examples", "tasks", "multilabel.py"),
+        ["--n_items", "60", "--n_sessions", "200", "--max_items", "10"],
+    ),
+])
+def test_task_driver_cli(tmp_path, script, extra):
+    """The chained-binary (pos_weight) and multilabel drivers run end to
+    end (VERDICT r1 items 5 and 8)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, script),
+            "--model_dir", str(tmp_path / "run"),
+            "--epochs", "2", "--batch", "32", *extra,
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "done" in out.stdout
+    assert (tmp_path / "run" / "history.jsonl").exists()
