@@ -109,19 +109,69 @@ def read_packed(path_glob: str) -> list[np.ndarray]:
     return out
 
 
+def _pack_feature(seqs: Sequence[np.ndarray]) -> dict[str, np.ndarray]:
+    """Pack 1-D or 2-D per-group arrays.
+
+    2-D list features (reference pandas_to_seq_example flattens them into
+    per-index context keys, data_utils.py:378-381 — a self-described temp
+    hack) pack properly here: rows flatten into ``values`` with a constant
+    ``width`` recorded, offsets count rows. width=0 marks a 1-D feature.
+    """
+    arrays = [np.asarray(s) for s in seqs]
+    widths = {a.shape[1] for a in arrays if a.ndim == 2}
+    if not widths:
+        packed = pack_ragged(arrays)
+        packed["width"] = np.int64(0)
+        return packed
+    if len(widths) != 1 or any(a.ndim != 2 for a in arrays if a.size):
+        raise ValueError(
+            f"2-D list feature needs one constant inner width, got {widths}"
+        )
+    (width,) = widths
+    lengths = np.array([a.shape[0] for a in arrays], dtype=np.int64)
+    offsets = np.zeros(len(arrays) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    values = (
+        np.concatenate([a.reshape(-1, width) for a in arrays])
+        if arrays
+        else np.zeros((0, width))
+    )
+    return {"values": values, "offsets": offsets, "width": np.int64(width)}
+
+
+def _unpack_feature(values, offsets, width) -> list[np.ndarray]:
+    if int(width) == 0:
+        return [values[offsets[i] : offsets[i + 1]] for i in range(len(offsets) - 1)]
+    return [values[offsets[i] : offsets[i + 1], :] for i in range(len(offsets) - 1)]
+
+
 def write_packed_dataset(
     features: dict[str, Sequence[np.ndarray]],
     path: str,
     records_per_shard: int = 10_000,
+    context: Optional[dict[str, Sequence]] = None,
+    mmap: bool = False,
 ) -> list[str]:
     """Multi-feature ragged dataset writer (the SequenceExample replacement,
     reference data_utils.py:127-245): each feature is a list of per-group
-    arrays, all aligned on the group axis. One npz per shard with
-    ``<feature>_values`` / ``<feature>_offsets`` arrays."""
+    1-D or 2-D arrays, all aligned on the group axis.
+
+    context: per-group SCALAR features (one value per group — the
+    SequenceExample ``context`` split, data_utils.py:218-221), stored as
+    plain ``ctx_<name>`` arrays alongside.
+
+    mmap=False: one ``dataset_i_of_n.npz`` per shard. mmap=True: one
+    ``dataset_i_of_n/`` directory per shard holding raw ``.npy`` files so
+    :func:`read_packed_dataset` can ``np.load(mmap_mode='r')`` them —
+    sequences come back as zero-copy views into the mapped file.
+    """
     names = sorted(features)
     n = len(features[names[0]])
     for m in names:
         assert len(features[m]) == n, "features must align on the group axis"
+    context = context or {}
+    for m in context:
+        assert len(context[m]) == n, "context must align on the group axis"
     os.makedirs(path, exist_ok=True)
     n_shards = max(1, (n + records_per_shard - 1) // records_per_shard)
     files = []
@@ -129,30 +179,64 @@ def write_packed_dataset(
         sl = slice(i * records_per_shard, (i + 1) * records_per_shard)
         payload = {}
         for m in names:
-            packed = pack_ragged(features[m][sl])
+            packed = _pack_feature(features[m][sl])
             payload[f"{m}_values"] = packed["values"]
             payload[f"{m}_offsets"] = packed["offsets"]
-        fname = os.path.join(path, f"dataset_{i + 1}_of_{n_shards}.npz")
-        np.savez_compressed(fname, **payload)
-        files.append(fname)
+            payload[f"{m}_width"] = packed["width"]
+        for m in sorted(context):
+            payload[f"ctx_{m}"] = np.asarray(context[m][sl])
+        base = os.path.join(path, f"dataset_{i + 1}_of_{n_shards}")
+        if mmap:
+            os.makedirs(base, exist_ok=True)
+            for k, v in payload.items():
+                np.save(os.path.join(base, f"{k}.npy"), v)
+            files.append(base)
+        else:
+            fname = base + ".npz"
+            np.savez_compressed(fname, **payload)
+            files.append(fname)
     return files
 
 
-def read_packed_dataset(path_glob: str) -> dict[str, list[np.ndarray]]:
-    """Read a multi-feature packed dataset back (all shards, in order)."""
+def read_packed_dataset(
+    path_glob: str, mmap: bool = False
+) -> tuple[dict[str, list[np.ndarray]], dict[str, np.ndarray]]:
+    """Read a packed dataset back (all shards, in order).
+
+    Returns ``(features, context)``. With ``mmap=True`` (``.npy``-directory
+    shards), values arrays are memory-mapped and the per-group sequences
+    are zero-copy views — a 100M-event dataset opens in milliseconds.
+    """
 
     def shard_key(p):
-        m = re.search(r"_(\d+)_of_(\d+)\.npz$", p)
+        m = re.search(r"_(\d+)_of_(\d+)(\.npz)?$", p)
         return int(m.group(1)) if m else 0
 
-    out: dict[str, list[np.ndarray]] = {}
+    feats: dict[str, list[np.ndarray]] = {}
+    ctx: dict[str, list[np.ndarray]] = {}
     for fname in sorted(glob.glob(path_glob), key=shard_key):
-        with np.load(fname, allow_pickle=False) as z:
-            names = sorted({k[: -len("_values")] for k in z.files if k.endswith("_values")})
-            for m in names:
-                out.setdefault(m, []).extend(
-                    unpack_ragged(
-                        {"values": z[f"{m}_values"], "offsets": z[f"{m}_offsets"]}
-                    )
+        if os.path.isdir(fname):
+            mode = "r" if mmap else None
+            z = {
+                os.path.splitext(os.path.basename(p))[0]: np.load(
+                    p, mmap_mode=mode, allow_pickle=False
                 )
-    return out
+                for p in glob.glob(os.path.join(fname, "*.npy"))
+            }
+            _read_shard(z, feats, ctx)
+        else:
+            with np.load(fname, allow_pickle=False) as z:
+                _read_shard({k: z[k] for k in z.files}, feats, ctx)
+    return feats, {m: np.concatenate(parts) for m, parts in ctx.items()}
+
+
+def _read_shard(z: dict, feats: dict, ctx: dict) -> None:
+    names = sorted({k[: -len("_values")] for k in z if k.endswith("_values")})
+    for m in names:
+        width = z.get(f"{m}_width", np.int64(0))
+        feats.setdefault(m, []).extend(
+            _unpack_feature(z[f"{m}_values"], z[f"{m}_offsets"], width)
+        )
+    for k in z:
+        if k.startswith("ctx_"):
+            ctx.setdefault(k[len("ctx_") :], []).append(np.asarray(z[k]))

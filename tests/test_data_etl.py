@@ -121,9 +121,66 @@ def test_packed_dataset_multifeature_roundtrip(tmp_path):
         {"items": items, "events": events}, str(tmp_path), records_per_shard=5
     )
     assert len(files) == 3
-    back = etl.read_packed_dataset(str(tmp_path / "dataset_*.npz"))
-    assert set(back) == {"items", "events"}
+    back, ctx = etl.read_packed_dataset(str(tmp_path / "dataset_*.npz"))
+    assert set(back) == {"items", "events"} and ctx == {}
     for a, b in zip(items, back["items"]):
         np.testing.assert_array_equal(a, b)
     for a, b in zip(events, back["events"]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_packed_dataset_context_and_2d_roundtrip(tmp_path):
+    """SequenceExample-surface parity (reference data_utils.py:127-396):
+    per-group scalar context features and 2-D list features round-trip."""
+    rng = np.random.default_rng(0)
+    n = 12
+    items = [rng.integers(0, 50, size=rng.integers(1, 9)).astype(np.int32) for _ in range(n)]
+    # 2-D list feature: one fixed-width float row per event
+    embeds = [rng.normal(size=(len(s), 4)).astype(np.float32) for s in items]
+    country = np.array([f"c{i % 3}" for i in range(n)])
+    age = np.arange(n, dtype=np.int32) + 20
+    files = etl.write_packed_dataset(
+        {"items": items, "embeds": embeds},
+        str(tmp_path),
+        records_per_shard=5,
+        context={"country": country, "age": age},
+    )
+    assert len(files) == 3
+    back, ctx = etl.read_packed_dataset(str(tmp_path / "dataset_*.npz"))
+    for a, b in zip(items, back["items"]):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(embeds, back["embeds"]):
+        assert b.shape == a.shape  # 2-D restored, not flattened
+        np.testing.assert_allclose(a, b)
+    np.testing.assert_array_equal(ctx["country"], country)
+    np.testing.assert_array_equal(ctx["age"], age)
+
+
+def test_packed_dataset_mmap_roundtrip(tmp_path):
+    """mmap layout: .npy-directory shards load as zero-copy views."""
+    rng = np.random.default_rng(1)
+    items = [rng.integers(0, 50, size=rng.integers(1, 9)).astype(np.int32) for _ in range(7)]
+    files = etl.write_packed_dataset(
+        {"items": items},
+        str(tmp_path),
+        records_per_shard=4,
+        context={"uid": np.arange(7)},
+        mmap=True,
+    )
+    assert all(not f.endswith(".npz") for f in files)
+    back, ctx = etl.read_packed_dataset(str(tmp_path / "dataset_*"), mmap=True)
+    for a, b in zip(items, back["items"]):
+        np.testing.assert_array_equal(a, b)
+    # genuinely memory-mapped: the view's base chain reaches a np.memmap
+    buf = back["items"][0]
+    base = buf.base
+    while base is not None and not isinstance(base, np.memmap):
+        base = base.base
+    assert isinstance(base, np.memmap)
+    np.testing.assert_array_equal(ctx["uid"], np.arange(7))
+
+
+def test_packed_dataset_2d_width_mismatch_raises(tmp_path):
+    bad = [np.zeros((2, 3)), np.zeros((1, 4))]
+    with pytest.raises(ValueError):
+        etl.write_packed_dataset({"x": bad}, str(tmp_path))
