@@ -44,18 +44,39 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def make_optimizer(cfg, mu_dtype=None) -> optax.GradientTransformation:
+def make_optimizer(
+    cfg, mu_dtype=None, weight_decay: float = 0.0
+) -> optax.GradientTransformation:
     """Adam sans-LR; LR applied in the step (see module docstring).
 
     mu_dtype=jnp.bfloat16 halves the first-moment memory — worthwhile when a
     sharded embedding table's Adam state dominates HBM (10M-item configs).
+
+    weight_decay > 0 gives AdamW-style decoupled decay on matrix params
+    (kernels; embedding tables, biases, and LayerNorm scales excluded) —
+    decay multiplies the same LR as the update since it sits before the
+    step's lr scaling.
     """
-    return optax.chain(
+    steps = [
         optax.scale_by_adam(
             b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps, mu_dtype=mu_dtype
-        ),
-        optax.scale(-1.0),
-    )
+        )
+    ]
+    if weight_decay:
+
+        def decay_mask(params):
+            def mask(path, leaf):
+                names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+                is_table = any(str(n).startswith("embed_") for n in names) or (
+                    "positions" in [str(n) for n in names]
+                )
+                return leaf.ndim >= 2 and not is_table
+
+            return jax.tree_util.tree_map_with_path(mask, params)
+
+        steps.append(optax.add_decayed_weights(weight_decay, mask=decay_mask))
+    steps.append(optax.scale(-1.0))
+    return optax.chain(*steps)
 
 
 def loss_for_head(head_kind: str) -> Callable:

@@ -133,6 +133,7 @@ def main(argv=None):
     p.add_argument("--monitor_mode", default="min", choices=["min", "max"])
     p.add_argument("--patience", type=int, default=30)
     p.add_argument("--plateau_patience", type=int, default=10)
+    p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument(
         "--schedule", default="constant", choices=["constant", "rsqrt_warmup"]
     )
@@ -175,7 +176,7 @@ def main(argv=None):
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"model={args.preset} d_model={cfg.d_model} params={n_params:,}", flush=True)
 
-    tx = make_optimizer(tcfg)
+    tx = make_optimizer(tcfg, weight_decay=args.weight_decay)
     state = TrainState.create(params, tx)
     if args.resume:
         latest = ckpt_lib.latest_checkpoint(os.path.join(args.model_dir, "ckpts"))
