@@ -46,6 +46,7 @@ class Trainer:
         is_host0: bool = True,
         lr_fn: Optional[Callable] = None,
         tensorboard: bool = True,
+        prefetch: int = 2,
     ):
         """
         train_step: (state, batch, rng) -> (state, loss)
@@ -56,6 +57,10 @@ class Trainer:
         lr_fn: step -> base LR (the schedule); logged as ``lr`` scaled by
             the plateau ``lr_scale`` (reference LRTensorBoard parity)
         tensorboard: also write TB event files under model_dir/tensorboard
+        prefetch: keep this many batches already transferred to device so
+            host->device copies overlap the running step (the reference's
+            tf.data ``prefetch(AUTOTUNE)``, input_pipeline.py:229); 0 to
+            transfer synchronously inside the step loop
         """
         self.train_step = train_step
         self.eval_step = eval_step
@@ -65,6 +70,7 @@ class Trainer:
         self.export_fn = export_fn
         self.is_host0 = is_host0
         self.lr_fn = lr_fn
+        self.prefetch = prefetch
         self.history: list[dict] = []
         self._tb = None
         if tensorboard and model_dir and is_host0:
@@ -93,9 +99,17 @@ class Trainer:
 
     # -- evaluation -------------------------------------------------------
     def evaluate(self, params, eval_batches: Iterator) -> dict[str, float]:
+        from bert4clickpath_tpu.data.pipeline import prefetch_to_device
+
+        if self.prefetch:
+            eval_batches = prefetch_to_device(
+                eval_batches, self.to_device, depth=self.prefetch
+            )
+        else:
+            eval_batches = (self.to_device(b) for b in eval_batches)
         acc = None
         for batch in eval_batches:
-            stats = self.eval_step(params, self.to_device(batch))
+            stats = self.eval_step(params, batch)
             stats = {k: np.asarray(v) for k, v in stats.items()}
             acc = stats if acc is None else metrics_lib.merge(acc, stats)
         if acc is None:
@@ -112,19 +126,27 @@ class Trainer:
         rng,
         n_epochs: Optional[int] = None,
     ) -> TrainState:
+        from bert4clickpath_tpu.data.pipeline import prefetch_to_device
+
         cfg = self.cfg
         n_epochs = n_epochs if n_epochs is not None else cfg.n_epochs
         sign = 1.0 if cfg.monitor_mode == "min" else -1.0
         best_val = math.inf
         epochs_since_best = 0
         epochs_since_plateau_cut = 0
+        if self.prefetch:
+            train_batches = prefetch_to_device(
+                train_batches, self.to_device, depth=self.prefetch
+            )
+        else:
+            train_batches = (self.to_device(b) for b in train_batches)
 
         for epoch in range(n_epochs):
             t0 = time.monotonic()
             losses = []
             for _ in range(cfg.steps_per_epoch):
                 batch = next(train_batches)
-                state, loss = self.train_step(state, self.to_device(batch), rng)
+                state, loss = self.train_step(state, batch, rng)
                 losses.append(loss)
             train_loss = float(np.mean([np.asarray(l) for l in losses]))
             dt = time.monotonic() - t0
