@@ -152,6 +152,10 @@ class TrainConfig:
     n_epochs: int = 10000
     steps_per_epoch: int = 100
     validation_steps: int = 0  # 0 -> full eval pass
+    # Evaluate every N epochs (plateau/early-stop counters advance only on
+    # evaluated epochs). Full-catalog eval costs ~10x a train epoch on the
+    # remote-TPU backend, so metric runs often want 2-5 here.
+    eval_every: int = 1
     early_stopping_patience: int = 30  # epochs (reference main.py:156)
     plateau_patience: int = 10  # epochs (reference main.py:134)
     plateau_factor: float = 0.317

@@ -72,6 +72,7 @@ class Trainer:
         self.lr_fn = lr_fn
         self.prefetch = prefetch
         self.history: list[dict] = []
+        self._merge_jit = jax.jit(metrics_lib.merge)
         self._tb = None
         if tensorboard and model_dir and is_host0:
             from bert4clickpath_tpu.utils.tb import EventWriter
@@ -107,15 +108,16 @@ class Trainer:
             )
         else:
             eval_batches = (self.to_device(b) for b in eval_batches)
+        # Accumulate ON DEVICE and fetch once: on the remote-TPU backend a
+        # per-batch np.asarray is a host round-trip, and a full-catalog pass
+        # is hundreds of batches — per-batch fetches dominate eval wall time.
         acc = None
         for batch in eval_batches:
             stats = self.eval_step(params, batch)
-            stats = {k: np.asarray(v) for k, v in stats.items()}
-            acc = stats if acc is None else metrics_lib.merge(acc, stats)
+            acc = stats if acc is None else self._merge_jit(acc, stats)
         if acc is None:
             return {"n": 0.0, "loss": float("nan")}
-        out = metrics_lib.finalize(acc)
-        return out
+        return metrics_lib.finalize(jax.device_get(acc))
 
     # -- fit --------------------------------------------------------------
     def fit(
@@ -141,6 +143,9 @@ class Trainer:
         else:
             train_batches = (self.to_device(b) for b in train_batches)
 
+        import jax.numpy as jnp
+
+        eval_every = max(1, getattr(cfg, "eval_every", 1))
         for epoch in range(n_epochs):
             t0 = time.monotonic()
             losses = []
@@ -148,15 +153,16 @@ class Trainer:
                 batch = next(train_batches)
                 state, loss = self.train_step(state, batch, rng)
                 losses.append(loss)
-            train_loss = float(np.mean([np.asarray(l) for l in losses]))
+            # one fused fetch — per-scalar np.asarray would be a host
+            # round-trip per step on the remote-TPU backend
+            train_loss = float(np.asarray(jnp.stack(losses)).mean())
             dt = time.monotonic() - t0
 
-            val = self.evaluate(state.params, eval_batches_fn())
+            do_eval = (epoch % eval_every == 0) or (epoch == n_epochs - 1)
             record = {
                 "epoch": epoch,
                 "step": int(np.asarray(state.step)),
                 "train_loss": train_loss,
-                "val_loss": float(val.get("loss", float("nan"))),
                 "epoch_seconds": round(dt, 3),
                 "lr_scale": float(np.asarray(state.lr_scale)),
             }
@@ -164,6 +170,11 @@ class Trainer:
                 record["lr"] = float(
                     np.asarray(self.lr_fn(record["step"]))
                 ) * record["lr_scale"]
+            if not do_eval:
+                self._log(record)
+                continue
+            val = self.evaluate(state.params, eval_batches_fn())
+            record["val_loss"] = float(val.get("loss", float("nan")))
             for k, v in val.items():
                 if k not in ("loss", "n"):
                     record[f"val_{k}"] = float(v)

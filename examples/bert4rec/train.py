@@ -124,6 +124,16 @@ def main(argv=None):
     )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval_batches", type=int, default=0, help="0 = full eval")
+    p.add_argument("--eval_batch", type=int, default=0, help="0 = --batch")
+    p.add_argument(
+        "--eval_every", type=int, default=1,
+        help="run the full-catalog eval every N epochs (patience counters "
+        "advance only on evaluated epochs)",
+    )
+    p.add_argument(
+        "--mu_dtype", default="float32", choices=["float32", "bfloat16"],
+        help="Adam first-moment dtype; bfloat16 halves its HBM traffic",
+    )
     p.add_argument("--init_ckpt", default=None, help="warm-start params path")
     p.add_argument(
         "--resume", action="store_true",
@@ -164,6 +174,8 @@ def main(argv=None):
         monitor_mode=args.monitor_mode,
         early_stopping_patience=args.patience,
         plateau_patience=args.plateau_patience,
+        eval_every=args.eval_every,
+        eval_batch_size=args.eval_batch,
     )
 
     model = ClickstreamModel(cfg)
@@ -176,7 +188,9 @@ def main(argv=None):
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"model={args.preset} d_model={cfg.d_model} params={n_params:,}", flush=True)
 
-    tx = make_optimizer(tcfg, weight_decay=args.weight_decay)
+    tx = make_optimizer(
+        tcfg, mu_dtype=jnp.dtype(args.mu_dtype), weight_decay=args.weight_decay
+    )
     state = TrainState.create(params, tx)
     if args.resume:
         latest = ckpt_lib.latest_checkpoint(os.path.join(args.model_dir, "ckpts"))
@@ -224,10 +238,11 @@ def main(argv=None):
         lr_fn=schedule,
     )
     eval_limit = args.eval_batches or None
+    eval_bs = args.eval_batch or args.batch
     state = trainer.fit(
         state,
         ds.train_batches(args.batch, seed=args.seed + 1),
-        lambda: ds.eval_batches(args.batch, limit_batches=eval_limit),
+        lambda: ds.eval_batches(eval_bs, limit_batches=eval_limit),
         jax.random.PRNGKey(args.seed + 2),
     )
     print("done", flush=True)

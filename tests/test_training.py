@@ -265,3 +265,41 @@ def test_serving_instance_id_passthrough(tmp_path):
     )
     assert out[0]["instance_id"] == "req-a" and len(out[0]["items"]) == 3
     assert out[1]["instance_id"] == "req-b"
+
+
+def test_trainer_eval_every(tmp_path):
+    ds, vocab, cfg, model = _setup()
+    tcfg = TrainConfig(
+        batch_size=16,
+        steps_per_epoch=2,
+        n_epochs=5,
+        eval_every=2,
+        early_stopping_patience=10,
+    )
+    b0 = _to_device(next(ds.train_batches(16, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"]
+    )
+    tx = make_optimizer(tcfg)
+    state = TrainState.create(params, tx)
+    trainer = Trainer(
+        make_train_step(model, tx, schedules.constant(1e-3), donate=False),
+        make_eval_step(model),
+        tcfg,
+        model_dir=str(tmp_path),
+        to_device=_to_device,
+    )
+    trainer.fit(
+        state,
+        ds.train_batches(16, seed=1),
+        lambda: ds.eval_batches(16, limit_batches=1),
+        jax.random.PRNGKey(2),
+    )
+    evaluated = [r["epoch"] for r in trainer.history if "val_loss" in r]
+    skipped = [r["epoch"] for r in trainer.history if "val_loss" not in r]
+    # epochs 0, 2 by cadence; 4 is both cadence and the final epoch
+    assert evaluated == [0, 2, 4]
+    assert skipped == [1, 3]
+    # skipped epochs still log training scalars
+    for r in trainer.history:
+        assert "train_loss" in r
