@@ -91,6 +91,12 @@ class ModelConfig:
     dtype: str = "float32"  # computation dtype: "bfloat16" on TPU
     # name of the feature whose embedding the tied head shares
     item_feature: str = "items"
+    # ALBERT-style factorized input: when > 0 and different from the sum of
+    # embedding dims, a Dense projects the concatenated embeddings up to this
+    # encoder width. Decouples table capacity (the overfitting lever on small
+    # catalogs — the table is ~80% of flagship params) from encoder width;
+    # the tied head's width-matching projection maps back to table space.
+    encoder_dim: int = 0
 
     def __post_init__(self):
         if self.routing not in ("mask", "segment"):
@@ -102,8 +108,11 @@ class ModelConfig:
 
     @property
     def d_model(self) -> int:
-        """Sum of per-feature embedding dims (reference transformer.py:336)."""
-        return sum(f.embedding_dim for f in self.features.values())
+        """Encoder width: ``encoder_dim`` if set, else the sum of per-feature
+        embedding dims (reference transformer.py:336)."""
+        return self.encoder_dim or sum(
+            f.embedding_dim for f in self.features.values()
+        )
 
     @property
     def head_width(self) -> int:

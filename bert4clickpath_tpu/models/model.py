@@ -65,6 +65,13 @@ class ClickstreamModel(nn.Module):
             )
             for name, fc in cfg.features.items()
         }
+        embed_sum = sum(fc.embedding_dim for fc in cfg.features.values())
+        if cfg.encoder_dim and cfg.encoder_dim != embed_sum:
+            # ALBERT-style factorized input (config.encoder_dim)
+            self.input_proj = nn.Dense(
+                cfg.d_model, dtype=self._dtype, param_dtype=jnp.float32,
+                name="input_proj",
+            )
         if cfg.positional == "learned":
             self.positions = LearnedPositions(cfg.max_len, cfg.d_model, name="positions")
         if cfg.use_segment_embeddings:
@@ -135,7 +142,13 @@ class ClickstreamModel(nn.Module):
         else:
             pos = jnp.asarray(sinusoidal_positions(cfg.max_len, cfg.d_model))[:seq_len]
         tile = None
-        if self.embed_impl == "pallas" and len(names) == 1:
+        # the fused gather kernel emits scale+pos directly in table space;
+        # skip it when a factorized input projection sits in between
+        if (
+            self.embed_impl == "pallas"
+            and len(names) == 1
+            and not hasattr(self, "input_proj")
+        ):
             from bert4clickpath_tpu.ops.pallas.gather import pick_tile
 
             tile = pick_tile(first.size)
@@ -161,6 +174,7 @@ class ClickstreamModel(nn.Module):
                 [self.embeds[n](features[n]).astype(self._dtype) for n in names],
                 axis=-1,
             )
+            embedded = self.apply_input_proj(embedded)
             embedded = embedded * jnp.sqrt(jnp.asarray(cfg.d_model, self._dtype))
             embedded = embedded + pos.astype(self._dtype)[None]
         if cfg.use_segment_embeddings:
@@ -171,6 +185,13 @@ class ClickstreamModel(nn.Module):
             seg = jnp.clip(segment_ids(first, SEP_ID), 0, cfg.max_segments - 1)
             embedded = embedded + self.segment_embed(seg).astype(self._dtype)
         return self.encoder(embedded, bias, deterministic)
+
+    def apply_input_proj(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Factorized-input up-projection (identity unless ``encoder_dim`` is
+        set and differs from the concatenated embedding width)."""
+        if hasattr(self, "input_proj"):
+            return self.input_proj(x.astype(self._dtype))
+        return x
 
     def apply_tied_transform(self, x: jnp.ndarray) -> jnp.ndarray:
         """BERT-MLM-style pre-projection for the tied head: Dense+gelu per

@@ -166,7 +166,13 @@ def _forward_gathered(
                 params[f"embed_{n}"]["embedding"].astype(dtype), features[n], axis=0
             )
         parts.append(e)
-    x = jnp.concatenate(parts, axis=-1) * jnp.sqrt(jnp.asarray(config.d_model, dtype))
+    x = jnp.concatenate(parts, axis=-1)
+    if config.encoder_dim and config.encoder_dim != sum(
+        fc.embedding_dim for fc in config.features.values()
+    ):
+        # factorized-input projection: replicated params, pure local math
+        x = facade.apply({"params": params}, x, method="apply_input_proj")
+    x = x * jnp.sqrt(jnp.asarray(config.d_model, dtype))
     if config.positional == "learned":
         pos = params["positions"]["embedding"]
     else:

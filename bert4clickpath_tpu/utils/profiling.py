@@ -46,8 +46,10 @@ def encoder_param_count(cfg: ModelConfig) -> int:
     d, f = cfg.d_model, cfg.ffn_dim
     per_layer = 4 * d * d + 4 * d + 2 * d * f + d + f + 4 * d  # qkv/o + ffn + 2 LN
     emb = sum(fc.vocab_rows * fc.embedding_dim for fc in cfg.features.values())
+    embed_sum = sum(fc.embedding_dim for fc in cfg.features.values())
+    proj = embed_sum * d + d if cfg.encoder_dim and cfg.encoder_dim != embed_sum else 0
     pos = cfg.max_len * d if cfg.positional == "learned" else 0
-    return cfg.num_layers * per_layer + emb + pos
+    return cfg.num_layers * per_layer + emb + pos + proj
 
 
 def step_cost(

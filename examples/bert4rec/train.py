@@ -67,13 +67,16 @@ def build_model_config(preset: str, vocab, args) -> ModelConfig:
     if preset == "tpu":
         from bert4clickpath_tpu.parallel.spmd import padded_vocab_rows
 
+        embed_dim = args.embed_dim or args.d_model
         return ModelConfig(
             # rows padded to the fused-CE kernel's vocab tile
             features={
                 "items": FeatureConfig(
-                    padded_vocab_rows(vocab.model_vocab_size, 1), args.d_model
+                    padded_vocab_rows(vocab.model_vocab_size, 1), embed_dim
                 )
             },
+            # factorized input when table dim < encoder width (ALBERT-style)
+            encoder_dim=args.d_model if embed_dim != args.d_model else 0,
             num_layers=args.layers,
             num_heads=args.heads,
             ffn_dim=4 * args.d_model,
@@ -115,6 +118,11 @@ def main(argv=None):
     p.add_argument("--steps_per_epoch", type=int, default=0, help="0 = one full pass")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--d_model", type=int, default=256)
+    p.add_argument(
+        "--embed_dim", type=int, default=0,
+        help="tpu preset: item-table dim (0 = d_model); when smaller, a "
+        "factorized input projection feeds the d_model-wide encoder",
+    )
     p.add_argument("--layers", type=int, default=4)
     p.add_argument("--heads", type=int, default=4)
     p.add_argument("--dropout", type=float, default=0.1)

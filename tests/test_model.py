@@ -298,3 +298,43 @@ def test_embed_impl_pallas_falls_back_multifeature():
     params = model.init({"params": jax.random.PRNGKey(0)}, feats, positions)
     out = model.apply(params, feats, positions)
     assert out.shape[-1] == 40
+
+
+def test_factorized_input_projection():
+    """encoder_dim (ALBERT-style factorized input): a 16-dim item table feeds
+    a 32-wide encoder through input_proj; the tied head's width-matching
+    tied_proj maps back to table space. Decouples table capacity from
+    encoder width (the flagship 4L/256d overfitting lever)."""
+    cfg = _cfg(encoder_dim=32, head=HeadConfig("tied_softmax"))
+    assert cfg.d_model == 32
+    model = ClickstreamModel(cfg)
+    feats, pos = _batch()
+    params = model.init(jax.random.PRNGKey(0), feats, pos)
+    assert "input_proj" in params["params"]
+    assert params["params"]["input_proj"]["kernel"].shape == (16, 32)
+    # tied head needs the 32 -> 16 width-matching projection
+    assert params["params"]["tied_proj"]["kernel"].shape == (32, 16)
+    logits = model.apply(params, feats, pos)
+    assert logits.shape == (3, 4, 40)
+
+    # the projection must receive gradient (it sits on the only input path)
+    def loss(p):
+        out = model.apply(p, feats, pos)
+        return jnp.sum(out * out)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["params"]["input_proj"]["kernel"]).sum()) > 0
+
+
+def test_factorized_input_identity_when_equal():
+    """encoder_dim equal to the concatenated embedding width allocates no
+    projection — the config is a no-op, not an extra matmul."""
+    cfg = _cfg(encoder_dim=16)
+    model = ClickstreamModel(cfg)
+    feats, pos = _batch()
+    params = model.init(jax.random.PRNGKey(0), feats, pos)
+    assert "input_proj" not in params["params"]
+    base = ClickstreamModel(_cfg())
+    want = base.apply(params, feats, pos)
+    got = model.apply(params, feats, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)

@@ -490,3 +490,63 @@ def test_spmd_learned_positions_match_single_device():
     )
     _, loss = step(state, spmd.shard_batch(b, mesh, cfg), jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(loss), want, rtol=2e-4)
+
+
+def test_spmd_factorized_input_matches_single_device():
+    """encoder_dim (factorized input projection) must flow through the SPMD
+    forward identically to the single-chip model: 16-dim sharded table ->
+    input_proj -> 32-wide encoder -> tied_proj -> vocab-parallel CE."""
+    mesh, ds, vocab, _ = _spmd_setup()
+    rows = spmd.padded_vocab_rows(vocab.model_vocab_size, 4)
+    cfg = ModelConfig(
+        features={"items": FeatureConfig(rows, 16)},
+        encoder_dim=32,
+        num_layers=1,
+        num_heads=2,
+        ffn_dim=32,
+        max_len=23,
+        dropout_rate=0.0,
+        head=HeadConfig("tied_softmax"),
+    )
+    assert cfg.d_model == 32
+    model = ClickstreamModel(cfg)
+    b = _device_batch(next(ds.train_batches(8, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+    )["params"]
+
+    logits = model.apply({"params": params}, b["features"], b["head_positions"])
+    want = float(
+        masked_softmax_cross_entropy(
+            logits[..., : vocab.label_vocab_size], b["labels"]
+        )
+    )
+    params0 = jax.device_get(params)
+    tx = make_optimizer(TrainConfig())
+    state = spmd.shard_state(TrainState.create(params, tx), mesh, cfg)
+    step = spmd.make_spmd_train_step(
+        cfg, mesh, tx, schedules.constant(1e-2), vocab.label_vocab_size
+    )
+    new_state, loss = step(
+        state, spmd.shard_batch(b, mesh, cfg), jax.random.PRNGKey(1)
+    )
+    np.testing.assert_allclose(float(loss), want, rtol=2e-4)
+    got = jax.device_get(new_state.params)
+    # both projections sit on the only forward path -> must move
+    assert not np.allclose(
+        got["input_proj"]["kernel"], params0["input_proj"]["kernel"]
+    )
+    assert not np.allclose(
+        got["tied_proj"]["kernel"], params0["tied_proj"]["kernel"]
+    )
+
+    ev = spmd.make_spmd_eval_step(cfg, mesh, vocab.label_vocab_size)
+    stats = ev(params0, spmd.shard_batch(b, mesh, cfg))
+    from bert4clickpath_tpu.ops.metrics import ranking_stats
+
+    dense = ranking_stats(
+        logits[..., : vocab.label_vocab_size], b["labels"], ks=(5, 10)
+    )
+    np.testing.assert_allclose(
+        float(stats["ndcg@10_sum"]), float(dense["ndcg@10_sum"]), rtol=1e-5
+    )
