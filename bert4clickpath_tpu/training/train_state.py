@@ -45,7 +45,7 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(
-    cfg, mu_dtype=None, weight_decay: float = 0.0
+    cfg, mu_dtype=None, weight_decay: float = 0.0, decay_tables: bool = False
 ) -> optax.GradientTransformation:
     """Adam sans-LR; LR applied in the step (see module docstring).
 
@@ -56,6 +56,13 @@ def make_optimizer(
     (kernels; embedding tables, biases, and LayerNorm scales excluded) —
     decay multiplies the same LR as the update since it sits before the
     step's lr scaling.
+
+    decay_tables=True extends the decay to embedding tables (and learned
+    positions). With a tied_softmax head the item table IS the output
+    layer and holds most of the parameters, so it is the main memorization
+    surface — on small corpora (Beauty: 354k interactions under an 18M-param
+    flagship) leaving it undecayed lets val ranking collapse while kernels
+    stay regularized.
     """
     steps = [
         optax.scale_by_adam(
@@ -70,7 +77,7 @@ def make_optimizer(
                 is_table = any(str(n).startswith("embed_") for n in names) or (
                     "positions" in [str(n) for n in names]
                 )
-                return leaf.ndim >= 2 and not is_table
+                return leaf.ndim >= 2 and (decay_tables or not is_table)
 
             return jax.tree_util.tree_map_with_path(mask, params)
 

@@ -73,6 +73,37 @@ def test_exp_decay_floor():
     assert float(s(jnp.asarray(10_000))) == pytest.approx(1e-4, rel=1e-3)
 
 
+def test_weight_decay_mask():
+    # AdamW decay hits dense kernels always; embedding tables / learned
+    # positions only under decay_tables=True; biases & LN scales never.
+    ds, vocab, cfg, model = _setup()
+    b0 = _to_device(next(ds.train_batches(16, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"]
+    )
+    zeros = jax.tree.map(jnp.zeros_like, params)
+
+    def decayed_paths(decay_tables):
+        tx = make_optimizer(
+            TrainConfig(), weight_decay=0.1, decay_tables=decay_tables
+        )
+        upd, _ = tx.update(zeros, tx.init(params), params)
+        out = set()
+        for path, leaf in jax.tree_util.tree_leaves_with_path(upd):
+            if float(jnp.abs(leaf).max()) > 0:
+                out.add("/".join(str(getattr(k, "key", k)) for k in path))
+        return out
+
+    base = decayed_paths(False)
+    with_tables = decayed_paths(True)
+    assert any("encoder" in p and "kernel" in p for p in base)
+    assert not any("embed_items" in p for p in base)
+    assert not any("bias" in p for p in base)
+    extra = with_tables - base
+    assert any("embed_items" in p for p in extra)
+    assert not any("bias" in p or "scale" in p for p in with_tables)
+
+
 def test_train_step_reduces_loss():
     ds, vocab, cfg, model = _setup()
     tcfg = TrainConfig(batch_size=16, steps_per_epoch=30)
