@@ -55,12 +55,22 @@ def _fields(buf: bytes) -> Iterator[Tuple[int, int, Union[int, bytes]]]:
             return
 
 
-def plane_kernel_totals(data: bytes, plane_filter: str = "TPU") -> dict[str, int]:
+def plane_kernel_totals(
+    data: bytes, plane_filter: str = "TPU", line_filter: str = "XLA Ops"
+) -> dict[str, int]:
     """Sum event duration_ps per event name over planes matching the filter.
 
     Returns {kernel_name: total_picoseconds} across every plane whose name
     contains ``plane_filter`` (case-insensitive).
+
+    A TPU device plane carries several *overlapping* views of the same device
+    time — 'Steps', 'XLA Modules', 'XLA Ops', 'Async XLA Ops' — so summing
+    every line triple-counts busy time and adds async-DMA spans that overlap
+    compute. Only lines whose name equals ``line_filter`` contribute
+    (unnamed lines always do, for traces that don't label lines); per-kernel
+    accounting wants the default 'XLA Ops'.
     """
+    want = line_filter.encode()
     totals: collections.Counter = collections.Counter()
     for f, wt, plane in _fields(data):
         if f != 1 or wt != 2:  # XSpace.planes
@@ -89,9 +99,16 @@ def plane_kernel_totals(data: bytes, plane_filter: str = "TPU") -> dict[str, int
         if plane_filter.lower() not in name.decode("utf-8", "replace").lower():
             continue
         for ln in lines:
+            lname = b""
+            events = []
             for lf, lwt, lv in _fields(ln):
-                if lf != 4 or lwt != 2:  # XLine.events
-                    continue
+                if lf == 2 and lwt == 2:  # XLine.name
+                    lname = lv
+                elif lf == 4 and lwt == 2:  # XLine.events
+                    events.append(lv)
+            if lname and lname != want:
+                continue
+            for lv in events:
                 meta_id = None
                 dur = 0
                 for ef, _, ev in _fields(lv):
@@ -115,10 +132,14 @@ def latest_xplane_pb(logdir: str) -> str:
 
 
 def kernel_report(
-    logdir: str, n_steps: int, top: int = 40, plane_filter: str = "TPU"
+    logdir: str,
+    n_steps: int,
+    top: int = 40,
+    plane_filter: str = "TPU",
+    line_filter: str = "XLA Ops",
 ) -> list[tuple[str, float]]:
     """[(kernel_name, device_ms_per_step)] for the newest trace in logdir."""
     with open(latest_xplane_pb(logdir), "rb") as f:
-        totals = plane_kernel_totals(f.read(), plane_filter)
+        totals = plane_kernel_totals(f.read(), plane_filter, line_filter)
     rows = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
     return [(name, ps / 1e9 / max(1, n_steps)) for name, ps in rows]

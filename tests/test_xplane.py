@@ -30,10 +30,16 @@ def _meta_entry(meta_id: int, name: bytes) -> bytes:
     return _field(1, 0, meta_id) + _field(2, 2, meta)
 
 
-def _plane(name: bytes, metas, events) -> bytes:
+def _line(events, name: bytes = b"") -> bytes:
+    body = _field(2, 2, name) if name else b""
+    return body + b"".join(_field(4, 2, _event(m, d)) for m, d in events)
+
+
+def _plane(name: bytes, metas, events, extra_lines=()) -> bytes:
     body = _field(2, 2, name)
-    line = b"".join(_field(4, 2, _event(m, d)) for m, d in events)
-    body += _field(3, 2, line)
+    body += _field(3, 2, _line(events))
+    for ln in extra_lines:
+        body += _field(3, 2, ln)
     for mid, mname in metas:
         body += _field(4, 2, _meta_entry(mid, mname))
     return _field(1, 2, body)
@@ -57,3 +63,20 @@ def test_plane_kernel_totals_sums_durations():
 def test_unknown_metadata_id_falls_back_to_str():
     space = _plane(b"TPU plane", [], [(42, 777)])
     assert plane_kernel_totals(space) == {"42": 777}
+
+
+def test_overlapping_lines_not_double_counted():
+    # Real TPU planes carry 'Steps' / 'XLA Modules' / 'Async XLA Ops' lines
+    # that re-describe the same device time; only 'XLA Ops' must count.
+    space = _plane(
+        b"/device:TPU:0",
+        [(1, b"step0"), (2, b"module.7"), (3, b"fusion.1"), (4, b"copy-start.2")],
+        [],
+        extra_lines=[
+            _line([(1, 500_000)], name=b"Steps"),
+            _line([(2, 500_000)], name=b"XLA Modules"),
+            _line([(3, 400_000)], name=b"XLA Ops"),
+            _line([(4, 900_000)], name=b"Async XLA Ops"),
+        ],
+    )
+    assert plane_kernel_totals(space) == {"fusion.1": 400_000}
