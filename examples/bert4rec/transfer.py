@@ -56,13 +56,17 @@ def _to_device(batch):
     }
 
 
-def binary_batches(sequences, n_items, batch, max_items, rng, shuffle=True):
-    """CLS-routed binary batches: label = 1 iff mean item id > median."""
+def binary_batches(
+    sequences, n_items, batch, max_items, rng, shuffle=True, threshold_frac=0.5
+):
+    """CLS-routed binary batches: label = 1 iff mean item id > the
+    ``threshold_frac`` point of the id range (0.5 = balanced; higher makes
+    positives rare, the reference's pos_weight use case, losses.py:71-96)."""
     from bert4clickpath_tpu.data.cloze import _empty_batch
 
     n = len(sequences)
     order = rng.permutation(n) if shuffle else np.arange(n)
-    threshold = (n_items - 1) / 2.0
+    threshold = (n_items - 1) * threshold_frac
     for start in range(0, n - batch + 1, batch):
         idx = order[start : start + batch]
         tokens, _, _ = _empty_batch(batch, max_items, 1)
@@ -80,10 +84,12 @@ def binary_batches(sequences, n_items, batch, max_items, rng, shuffle=True):
         }
 
 
-def finetune(model, params, tcfg, batches_fn, steps, lr, rng_key):
+def finetune(model, params, tcfg, batches_fn, steps, lr, rng_key, loss_fn=None):
     tx = make_optimizer(tcfg)
     state = TrainState.create(params, tx)
-    step = make_train_step(model, tx, schedules.constant(lr), donate=False)
+    step = make_train_step(
+        model, tx, schedules.constant(lr), loss_fn=loss_fn, donate=False
+    )
     it = batches_fn()
     for i in range(steps):
         try:
@@ -104,6 +110,16 @@ def main(argv=None):
     p.add_argument("--pretrain_steps", type=int, default=300)
     p.add_argument("--finetune_steps", type=int, default=60)
     p.add_argument("--max_items", type=int, default=30)
+    p.add_argument(
+        "--pos_frac", type=float, default=0.5,
+        help="id-range threshold fraction for the intent label; >0.5 makes "
+        "positives rare and activates pos_weight (reference losses.py:71-96)",
+    )
+    p.add_argument(
+        "--pos_weight", type=float, default=0.0,
+        help="positive-class loss weight; 0 = auto (neg/pos ratio measured "
+        "on the corpus) when --pos_frac != 0.5, else unweighted",
+    )
     args = p.parse_args(argv)
 
     gen = ClickStreamGenerator(
@@ -153,13 +169,34 @@ def main(argv=None):
     )
     ft_model = ClickstreamModel(ft_cfg)
     rngb = np.random.default_rng(3)
-    fb0 = next(binary_batches(sequences, args.n_items, args.batch, args.max_items, rngb))
+    fb0 = next(binary_batches(
+        sequences, args.n_items, args.batch, args.max_items, rngb,
+        threshold_frac=args.pos_frac,
+    ))
     fresh = ft_model.init({"params": jax.random.PRNGKey(4)}, fb0["features"])
+
+    # imbalance-aware loss: weight rare positives by the measured neg/pos
+    # ratio (reference's pos_weight for return/purchase tasks,
+    # source/main.py:63-76; losses.py:71-96)
+    loss_fn = None
+    pos_weight = args.pos_weight
+    if not pos_weight and args.pos_frac != 0.5:
+        thr = (args.n_items - 1) * args.pos_frac
+        pos = sum(float(s[: args.max_items].mean() > thr) for s in sequences)
+        pos_rate = pos / len(sequences)
+        pos_weight = (1.0 - pos_rate) / max(pos_rate, 1e-6)
+    if pos_weight:
+        from functools import partial
+
+        from bert4clickpath_tpu.ops.losses import masked_binary_cross_entropy
+
+        loss_fn = partial(masked_binary_cross_entropy, pos_weight=pos_weight)
+        print(f"pos_weight={pos_weight:.2f}", flush=True)
 
     def stream():
         return binary_batches(
             sequences, args.n_items, args.batch, args.max_items,
-            np.random.default_rng(5),
+            np.random.default_rng(5), threshold_frac=args.pos_frac,
         )
 
     results = {}
@@ -169,13 +206,14 @@ def main(argv=None):
     ):
         st, final_loss = finetune(
             ft_model, init_params, tcfg, stream, args.finetune_steps, 1e-3,
-            jax.random.PRNGKey(6),
+            jax.random.PRNGKey(6), loss_fn=loss_fn,
         )
-        ev = make_eval_step(ft_model)
+        ev = make_eval_step(ft_model, loss_fn=loss_fn)
         acc = None
         for b in binary_batches(
             sequences, args.n_items, args.batch, args.max_items,
             np.random.default_rng(7), shuffle=False,
+            threshold_frac=args.pos_frac,
         ):
             s = {k: np.asarray(v) for k, v in ev(st.params, b).items()}
             acc = s if acc is None else M.merge(acc, s)
