@@ -44,6 +44,25 @@ def scaled_dot_product_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
 
+def attention_blhd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Same math in (B, L, H, Dh) layout — heads stay where the reshape from
+    (B, L, D) put them, so XLA never materializes a (B, H, L, Dh) transpose.
+    The explicit-transpose formulation cost ~1.1 ms/step in layout copies at
+    the flagship shape (device trace, KERNELS.md round 2)."""
+    depth = q.shape[-1]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.float32(depth))
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
 class MultiHeadAttention(nn.Module):
     d_model: int
     num_heads: int
@@ -58,17 +77,17 @@ class MultiHeadAttention(nn.Module):
             self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )
         b, l, _ = x.shape
-        split = lambda t: t.reshape(b, l, self.num_heads, depth).transpose(  # noqa: E731
-            0, 2, 1, 3
-        )
+        split = lambda t: t.reshape(b, l, self.num_heads, depth)  # noqa: E731
         q, k, v = split(dense("wq")(x)), split(dense("wk")(x)), split(dense("wv")(x))
         if self.attn_impl == "pallas":
             from bert4clickpath_tpu.ops.pallas.attention import flash_attention
 
-            attn = flash_attention(q, k, v, bias)
+            # the kernel's grid is head-major: feed (B, H, L, Dh)
+            t = lambda u: u.transpose(0, 2, 1, 3)  # noqa: E731
+            attn = t(flash_attention(t(q), t(k), t(v), bias))
         else:
-            attn = scaled_dot_product_attention(q, k, v, bias)
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, l, self.d_model)
+            attn = attention_blhd(q, k, v, bias)
+        attn = attn.reshape(b, l, self.d_model)
         return dense("wo")(attn)
 
 

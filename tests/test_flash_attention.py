@@ -113,3 +113,16 @@ def test_model_with_pallas_attention():
     a = ref_model.apply(params, feats, pos)
     b = pl_model.apply(params, feats, pos)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_attention_blhd_matches_bhld():
+    from bert4clickpath_tpu.models.encoder import attention_blhd
+
+    rng = np.random.default_rng(3)
+    b, h, l, d = 2, 4, 16, 8
+    q, k, v = (rng.normal(size=(b, h, l, d)).astype(np.float32) for _ in range(3))
+    bias = np.where(rng.random((b, 1, 1, l)) < 0.2, -1e9, 0.0).astype(np.float32)
+    want = scaled_dot_product_attention(q, k, v, bias)
+    t = lambda u: jnp.transpose(u, (0, 2, 1, 3))
+    got = t(attention_blhd(t(q), t(k), t(v), bias))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
