@@ -31,6 +31,22 @@ def rsqrt_warmup(d_model: int, warmup_steps: int = 4000, scale: float = 1.0):
     return schedule
 
 
+def warmup_constant(lr: float, warmup_steps: int = 1000):
+    """Linear warmup to ``lr``, then constant.
+
+    The reference's parity config trains at a flat 1e-3 for its whole run
+    (source/main.py:87) and ranking quality keeps improving late under it;
+    rsqrt decay starves larger configs of late-stage LR on this task. The
+    short warmup is the only concession deeper/wider encoders need."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = jnp.minimum(step / jnp.maximum(float(warmup_steps), 1.0), 1.0)
+        return jnp.full((), lr, jnp.float32) * warm
+
+    return schedule
+
+
 def exponential_decay_to_floor(
     initial_lr: float, floor_lr: float, decay_steps: int, decay_rate: float
 ):
@@ -52,6 +68,8 @@ def from_config(cfg, d_model: int):
         return constant(cfg.learning_rate)
     if cfg.lr_schedule == "rsqrt_warmup":
         return rsqrt_warmup(d_model, cfg.warmup_steps, scale=1.0)
+    if cfg.lr_schedule == "warmup_constant":
+        return warmup_constant(cfg.learning_rate, cfg.warmup_steps)
     if cfg.lr_schedule == "exp_decay":
         return exponential_decay_to_floor(
             cfg.learning_rate, cfg.learning_rate * 0.01, cfg.steps_per_epoch, 0.9

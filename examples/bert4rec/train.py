@@ -162,7 +162,8 @@ def main(argv=None):
         "small corpora)",
     )
     p.add_argument(
-        "--schedule", default="constant", choices=["constant", "rsqrt_warmup"]
+        "--schedule", default="constant",
+        choices=["constant", "rsqrt_warmup", "warmup_constant"],
     )
     p.add_argument("--warmup_steps", type=int, default=4000)
     args = p.parse_args(argv)
@@ -223,6 +224,8 @@ def main(argv=None):
         schedule = schedules.rsqrt_warmup(
             cfg.d_model, args.warmup_steps, scale=tcfg.learning_rate / peak
         )
+    elif args.schedule == "warmup_constant":
+        schedule = schedules.warmup_constant(tcfg.learning_rate, args.warmup_steps)
     else:
         schedule = schedules.constant(tcfg.learning_rate)
     train_step = make_train_step(

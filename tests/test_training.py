@@ -334,3 +334,11 @@ def test_trainer_eval_every(tmp_path):
     # skipped epochs still log training scalars
     for r in trainer.history:
         assert "train_loss" in r
+
+
+def test_warmup_constant_schedule():
+    s = schedules.warmup_constant(1e-3, warmup_steps=100)
+    assert float(s(jnp.asarray(0))) == pytest.approx(0.0)
+    assert float(s(jnp.asarray(50))) == pytest.approx(5e-4)
+    assert float(s(jnp.asarray(100))) == pytest.approx(1e-3)
+    assert float(s(jnp.asarray(100_000))) == pytest.approx(1e-3)
