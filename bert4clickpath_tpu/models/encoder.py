@@ -77,16 +77,26 @@ class MultiHeadAttention(nn.Module):
             self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )
         b, l, _ = x.shape
-        split = lambda t: t.reshape(b, l, self.num_heads, depth)  # noqa: E731
-        q, k, v = split(dense("wq")(x)), split(dense("wk")(x)), split(dense("wv")(x))
+        qf, kf, vf = dense("wq")(x), dense("wk")(x), dense("wv")(x)  # (B, L, D)
         if self.attn_impl == "pallas":
-            from bert4clickpath_tpu.ops.pallas.attention import flash_attention
+            from bert4clickpath_tpu.ops.pallas.attention import (
+                flash_attention,
+                fused_mha,
+                fused_mha_supported,
+            )
 
-            # the kernel's grid is head-major: feed (B, H, L, Dh)
-            t = lambda u: u.transpose(0, 2, 1, 3)  # noqa: E731
-            attn = t(flash_attention(t(q), t(k), t(v), bias))
+            if fused_mha_supported(l, self.d_model, self.num_heads):
+                # short-L path: heads never leave the (B, L, D) layout
+                return dense("wo")(fused_mha(qf, kf, vf, bias, self.num_heads))
+            # long-L blockwise path wants the head-major view
+            split = lambda t: t.reshape(b, l, self.num_heads, depth).transpose(  # noqa: E731
+                0, 2, 1, 3
+            )
+            attn = flash_attention(split(qf), split(kf), split(vf), bias)
+            attn = attn.transpose(0, 2, 1, 3)
         else:
-            attn = attention_blhd(q, k, v, bias)
+            split = lambda t: t.reshape(b, l, self.num_heads, depth)  # noqa: E731
+            attn = attention_blhd(split(qf), split(kf), split(vf), bias)
         attn = attn.reshape(b, l, self.d_model)
         return dense("wo")(attn)
 

@@ -284,3 +284,143 @@ def flash_attention(q, k, v, bias):
     """(B, H, L, Dh) fused masked attention. bias: (B, 1, 1, L) additive."""
     out, _ = _flash(q, k, v, bias)
     return out
+
+
+# -- short-sequence fused MHA over (B, L, D) ------------------------------
+#
+# At the reference shapes (L≈53) the blockwise kernel's (batch, head) grid
+# is overhead-bound AND the surrounding XLA graph pays ~1.3 ms/step in
+# (B, L, H, Dh) layout-transpose copies that the head-major view forces
+# (device trace, KERNELS.md round 2). This kernel instead consumes the
+# dense projections exactly as produced — (B, L, D) with heads as lane
+# sub-ranges — and computes every head of one batch row per program, so no
+# head-major tensor ever exists in HBM. Backward recomputes the softmax
+# (everything sits in VMEM), which also deletes the (B, H, L, L)
+# score-tensor remat copies the XLA path pays.
+
+
+def _mha_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, num_heads, scale):
+    q = q_ref[0]  # (L, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    bias = bias_ref[0, 0, 0].astype(jnp.float32)  # (L,)
+    dh = q.shape[1] // num_heads
+    for h in range(num_heads):
+        qh = jax.lax.slice_in_dim(q, h * dh, (h + 1) * dh, axis=1)
+        kh = jax.lax.slice_in_dim(k, h * dh, (h + 1) * dh, axis=1)
+        vh = jax.lax.slice_in_dim(v, h * dh, (h + 1) * dh, axis=1)
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias[None, :]
+        p = jax.nn.softmax(s, axis=-1)
+        oh = jax.lax.dot_general(
+            p.astype(vh.dtype), vh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, h * dh : (h + 1) * dh] = oh.astype(o_ref.dtype)
+
+
+def _mha_bwd_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref,
+    *, num_heads, scale,
+):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    bias = bias_ref[0, 0, 0].astype(jnp.float32)
+    dh = q.shape[1] // num_heads
+    for h in range(num_heads):
+        sl = lambda t: jax.lax.slice_in_dim(t, h * dh, (h + 1) * dh, axis=1)  # noqa: E731
+        qh, kh, vh, doh = sl(q), sl(k), sl(v), sl(do).astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias[None, :]
+        p = jax.nn.softmax(s, axis=-1)  # (L, L) f32
+        dv_ref[0, :, h * dh : (h + 1) * dh] = jax.lax.dot_general(
+            p.astype(doh.dtype), doh, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            doh, vh.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jnp.sum(p * dp, axis=1, keepdims=True)
+        ds = p * (dp - delta) * scale  # (L, L) f32
+        dsc = ds.astype(kh.dtype)
+        dq_ref[0, :, h * dh : (h + 1) * dh] = jax.lax.dot_general(
+            dsc, kh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)
+        dk_ref[0, :, h * dh : (h + 1) * dh] = jax.lax.dot_general(
+            dsc, qh, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dk_ref.dtype)
+
+
+def _mha_specs(b, l, d):
+    blk = pl.BlockSpec((1, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    bias_blk = pl.BlockSpec(
+        (1, 1, 1, l), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    return blk, bias_blk
+
+
+def _fused_mha_fwd(q, k, v, bias, num_heads):
+    b, l, d = q.shape
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+    blk, bias_blk = _mha_specs(b, l, d)
+    return pl.pallas_call(
+        functools.partial(_mha_fwd_kernel, num_heads=num_heads, scale=scale),
+        grid=(b,),
+        in_specs=[blk, blk, blk, bias_blk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((b, l, d), q.dtype),
+        interpret=_interpret(),
+    )(q, k, v, bias)
+
+
+def _fused_mha_bwd(num_heads, res, do):
+    q, k, v, bias = res
+    b, l, d = q.shape
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+    blk, bias_blk = _mha_specs(b, l, d)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_mha_bwd_kernel, num_heads=num_heads, scale=scale),
+        grid=(b,),
+        in_specs=[blk, blk, blk, bias_blk, blk],
+        out_specs=[blk, blk, blk],
+        out_shape=[jax.ShapeDtypeStruct((b, l, d), q.dtype)] * 3,
+        interpret=_interpret(),
+    )(q, k, v, bias, do)
+    return dq, dk, dv, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_mha(q, k, v, bias, num_heads):
+    """(B, L, D) masked MHA, heads = lane sub-ranges of D.
+
+    All heads of one batch row per program; backward recomputes softmax in
+    VMEM. For sequences where (L, D) tiles don't fit VMEM use
+    ``flash_attention`` (blockwise) instead — see ``fused_mha_supported``.
+    """
+    return _fused_mha_fwd(q, k, v, bias, num_heads)
+
+
+def _fused_mha_fwd_rule(q, k, v, bias, num_heads):
+    return _fused_mha_fwd(q, k, v, bias, num_heads), (q, k, v, bias)
+
+
+fused_mha.defvjp(_fused_mha_fwd_rule, _fused_mha_bwd)
+
+
+def fused_mha_supported(
+    l: int, d: int, num_heads: int, itemsize: int = 2,
+    vmem_budget: int = 6 * 1024 * 1024,
+) -> bool:
+    """Whole-row fused MHA needs ~5 (L, D) tiles + one f32 (L, L) score per
+    head's working set in VMEM at once."""
+    return 5 * l * d * itemsize + 3 * l * l * 4 <= vmem_budget

@@ -126,3 +126,56 @@ def test_attention_blhd_matches_bhld():
     t = lambda u: jnp.transpose(u, (0, 2, 1, 3))
     got = t(attention_blhd(t(q), t(k), t(v), bias))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+class TestFusedMHA:
+    def _inputs(self, b=3, l=12, h=2, dh=8, seed=5):
+        rng = np.random.default_rng(seed)
+        q, k, v = (
+            rng.normal(size=(b, l, h * dh)).astype(np.float32) for _ in range(3)
+        )
+        bias = np.where(rng.random((b, 1, 1, l)) < 0.25, -1e9, 0.0).astype(
+            np.float32
+        )
+        return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias)
+
+    def _oracle(self, q, k, v, bias, h):
+        from bert4clickpath_tpu.models.encoder import attention_blhd
+
+        b, l, d = q.shape
+        split = lambda t: t.reshape(b, l, h, d // h)
+        return attention_blhd(split(q), split(k), split(v), bias).reshape(b, l, d)
+
+    def test_forward_matches_oracle(self):
+        from bert4clickpath_tpu.ops.pallas.attention import fused_mha
+
+        q, k, v, bias = self._inputs()
+        got = fused_mha(q, k, v, bias, 2)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(self._oracle(q, k, v, bias, 2)), atol=1e-5
+        )
+
+    def test_grads_match_oracle(self):
+        from bert4clickpath_tpu.ops.pallas.attention import fused_mha
+
+        q, k, v, bias = self._inputs()
+        w = jnp.asarray(
+            np.random.default_rng(9).normal(size=q.shape).astype(np.float32)
+        )
+
+        def loss_kernel(q, k, v):
+            return jnp.sum(fused_mha(q, k, v, bias, 2) * w)
+
+        def loss_oracle(q, k, v):
+            return jnp.sum(self._oracle(q, k, v, bias, 2) * w)
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        go = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gk, go):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+    def test_supported_bounds(self):
+        from bert4clickpath_tpu.ops.pallas.attention import fused_mha_supported
+
+        assert fused_mha_supported(53, 256, 4)
+        assert not fused_mha_supported(4096, 256, 4)
