@@ -40,6 +40,7 @@ class ClozeDataset:
         process_index: int = 0,
         process_count: int = 1,
         backend: str = "auto",  # auto | numpy | native
+        masked_percentage: Optional[float] = None,
     ):
         if process_count > 1:
             sequences = list(sequences[process_index::process_count])
@@ -50,6 +51,13 @@ class ClozeDataset:
         self.max_items = max_items
         self.max_masked = max_masked
         self.feature_name = feature_name
+        if masked_percentage is None:
+            from bert4clickpath_tpu.constants import MASKED_PERCENTAGE
+
+            masked_percentage = MASKED_PERCENTAGE
+        # Cloze mask rate (reference cloze_constants.py:2 = 0.4). Tunable:
+        # Sun et al. 2019 report 0.6 as the Beauty optimum.
+        self.masked_percentage = float(masked_percentage)
         self._packed = None
         if backend == "auto":
             from bert4clickpath_tpu.data import native
@@ -101,15 +109,13 @@ class ClozeDataset:
             for start in range(0, n - per_host_batch + 1, per_host_batch):
                 idx = order[start : start + per_host_batch]
                 if use_native:
-                    from bert4clickpath_tpu.constants import MASKED_PERCENTAGE
-
                     tokens, positions, labels = native_train_batch(
                         values,
                         offsets,
                         np.ascontiguousarray(idx, np.int64),
                         self.max_items,
                         self.max_masked,
-                        MASKED_PERCENTAGE,
+                        self.masked_percentage,
                         seed,
                         counter,
                     )
@@ -121,6 +127,7 @@ class ClozeDataset:
                         rng,
                         self.max_items,
                         self.max_masked,
+                        masked_percentage=self.masked_percentage,
                         feature_name=self.feature_name,
                     )
 

@@ -113,6 +113,15 @@ def main(argv=None):
     p.add_argument("--n_items", type=int, default=1000)
     p.add_argument("--n_sessions", type=int, default=20000)
     p.add_argument("--max_items", type=int, default=50)
+    p.add_argument(
+        "--mask_pct", type=float, default=0.0,
+        help="Cloze mask rate (0 = reference default 0.4; Sun et al. 2019 "
+        "report 0.6 as the Beauty optimum)",
+    )
+    p.add_argument(
+        "--max_masked", type=int, default=10,
+        help="mask-slot cap P (reference cloze_constants.py:1)",
+    )
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--epochs", type=int, default=400)
     p.add_argument("--steps_per_epoch", type=int, default=0, help="0 = one full pass")
@@ -178,7 +187,13 @@ def main(argv=None):
         sequences, vocab = load_beauty(args.data, max_seq_len=args.max_items)
     print(f"sequences={len(sequences)} items={vocab.size}", flush=True)
 
-    ds = ClozeDataset(sequences, vocab, max_items=args.max_items)
+    ds = ClozeDataset(
+        sequences,
+        vocab,
+        max_items=args.max_items,
+        max_masked=args.max_masked,
+        masked_percentage=args.mask_pct or None,
+    )
     cfg = build_model_config(args.preset, vocab, args)
     steps_per_epoch = args.steps_per_epoch or max(1, len(ds) // args.batch)
     tcfg = TrainConfig(
