@@ -174,8 +174,16 @@ class ClickstreamModel(nn.Module):
                 [self.embeds[n](features[n]).astype(self._dtype) for n in names],
                 axis=-1,
             )
+            # ×√(embedding width), BEFORE any factorized up-projection: the
+            # reference's ×√d_model (transformer.py:390) normalizes its
+            # 1/√d-initialized table to unit scale; applying √d_model after a
+            # narrower table + lecun-init projection would enter the encoder
+            # √(d_model/d_embed)× too hot (and amplify the table's input-side
+            # grads by the same factor vs its tied output-side grads).
+            embedded = embedded * jnp.sqrt(
+                jnp.asarray(embedded.shape[-1], self._dtype)
+            )
             embedded = self.apply_input_proj(embedded)
-            embedded = embedded * jnp.sqrt(jnp.asarray(cfg.d_model, self._dtype))
             embedded = embedded + pos.astype(self._dtype)[None]
         if cfg.use_segment_embeddings:
             # cumulative-SEP markers: [CLS][SEP] s1 [SEP] s2 -> 0 1.. 2..

@@ -167,12 +167,14 @@ def _forward_gathered(
             )
         parts.append(e)
     x = jnp.concatenate(parts, axis=-1)
+    # ×√(embedding width) BEFORE the factorized projection — matches
+    # ClickstreamModel.encode (see the scale-placement note there)
+    x = x * jnp.sqrt(jnp.asarray(x.shape[-1], dtype))
     if config.encoder_dim and config.encoder_dim != sum(
         fc.embedding_dim for fc in config.features.values()
     ):
         # factorized-input projection: replicated params, pure local math
         x = facade.apply({"params": params}, x, method="apply_input_proj")
-    x = x * jnp.sqrt(jnp.asarray(config.d_model, dtype))
     if config.positional == "learned":
         pos = params["positions"]["embedding"]
     else:
