@@ -512,6 +512,12 @@ def _bwd_fused(x, table, labels_model, logz, dnll, row_offset, num_valid,
     return dx, dw.astype(table.dtype)
 
 
-def use_fused_backward(n: int, d: int, vmem_budget: int = 8 * 1024 * 1024) -> bool:
-    """The merged backward holds an (N, D) f32 scratch in VMEM."""
+def use_fused_backward(n: int, d: int, vmem_budget: int = 4 * 1024 * 1024) -> bool:
+    """The merged backward holds an (N, D) f32 scratch in VMEM.
+
+    The budget is the scratch alone — the kernel's double-buffered x/w/dx/dw
+    blocks need the rest of VMEM on top. 4 MiB (N=4096 at D=256) is the
+    largest configuration verified to compile on v5e; 6 MiB (N=6144) dies in
+    the Mosaic compile, so past the budget the two-pass backward takes over.
+    """
     return n * d * 4 <= vmem_budget
