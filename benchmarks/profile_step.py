@@ -120,7 +120,11 @@ def main(argv=None):
     wall = (time.perf_counter() - t0) / args.steps
 
     rows = kernel_report(args.logdir, args.steps, top=args.top)
-    device_total = sum(ms for _, ms in rows)
+    # total over the WHOLE device plane, not just the top-N rows shown
+    from bert4clickpath_tpu.utils.xplane import latest_xplane_pb, plane_kernel_totals
+
+    with open(latest_xplane_pb(args.logdir), "rb") as f:
+        device_total = sum(plane_kernel_totals(f.read()).values()) / 1e9 / args.steps
     print(
         f"\nconfig: attn={args.attn_impl} dropout_impl={args.dropout_impl} "
         f"embed={args.embed_impl} mu={args.mu_dtype} B={args.batch}"

@@ -151,6 +151,10 @@ def main(argv=None):
         "--mu_dtype", default="float32", choices=["float32", "bfloat16"],
         help="Adam first-moment dtype; bfloat16 halves its HBM traffic",
     )
+    p.add_argument(
+        "--attn_impl", default="xla", choices=["xla", "pallas"],
+        help="pallas = fused whole-row MHA (short L) / blockwise flash (long L)",
+    )
     p.add_argument("--init_ckpt", default=None, help="warm-start params path")
     p.add_argument(
         "--resume", action="store_true",
@@ -211,7 +215,7 @@ def main(argv=None):
         eval_batch_size=args.eval_batch,
     )
 
-    model = ClickstreamModel(cfg)
+    model = ClickstreamModel(cfg, attn_impl=args.attn_impl)
     b0 = to_device(next(ds.train_batches(args.batch, seed=args.seed)))
     params = model.init(
         {"params": jax.random.PRNGKey(args.seed)}, b0["features"], b0["head_positions"]
