@@ -53,16 +53,23 @@ from bert4clickpath_tpu.training.trainer import Trainer
 
 def build_model_config(preset: str, vocab, args) -> ModelConfig:
     if preset == "parity":
+        # reference defaults (source/main.py:186-263) unless overridden —
+        # --parity_scale lifts the encoder to the --d_model/--layers/--heads
+        # shape while keeping the reference MLP softmax head (whose untied
+        # 128-wide output layer + per-item bias out-ranks tied heads on
+        # sparse catalogs; BASELINE.md quality ledger)
+        scaled = args.parity_scale
+        d = args.d_model if scaled else 64
         return ModelConfig(
-            features={"items": FeatureConfig(vocab.model_vocab_size, 64)},
-            num_layers=2,
-            num_heads=2,
-            ffn_dim=100,
-            dropout_rate=0.1,
+            features={"items": FeatureConfig(vocab.model_vocab_size, d)},
+            num_layers=args.layers if scaled else 2,
+            num_heads=args.heads if scaled else 2,
+            ffn_dim=4 * d if scaled else 100,
+            dropout_rate=args.dropout,
             max_len=args.max_items + 3,
             positional="sinusoidal",
             head=HeadConfig("softmax", (1024, 512, 256, 128), vocab.label_vocab_size),
-            dtype="float32",
+            dtype="bfloat16" if scaled else "float32",
         )
     if preset == "tpu":
         from bert4clickpath_tpu.parallel.spmd import padded_vocab_rows
@@ -109,6 +116,11 @@ def main(argv=None):
     p.add_argument("--data", default="/root/reference/examples/BERT4Rec/raw_data/beauty.txt")
     p.add_argument("--model_dir", required=True)
     p.add_argument("--preset", choices=["parity", "tpu"], default="parity")
+    p.add_argument(
+        "--parity_scale", action="store_true",
+        help="parity preset: scale the encoder to --d_model/--layers/--heads "
+        "(bf16) while keeping the reference MLP softmax head",
+    )
     p.add_argument("--simulated", action="store_true")
     p.add_argument("--n_items", type=int, default=1000)
     p.add_argument("--n_sessions", type=int, default=20000)
