@@ -69,7 +69,7 @@ def build_model_config(preset: str, vocab, args) -> ModelConfig:
             max_len=args.max_items + 3,
             positional="sinusoidal",
             head=HeadConfig("softmax", (1024, 512, 256, 128), vocab.label_vocab_size),
-            dtype="bfloat16" if scaled else "float32",
+            dtype=args.dtype or ("bfloat16" if scaled else "float32"),
         )
     if preset == "tpu":
         from bert4clickpath_tpu.parallel.spmd import padded_vocab_rows
@@ -98,7 +98,7 @@ def build_model_config(preset: str, vocab, args) -> ModelConfig:
                 ),
                 output_size=vocab.label_vocab_size,
             ),
-            dtype="bfloat16",
+            dtype=args.dtype or "bfloat16",
         )
     raise ValueError(preset)
 
@@ -116,6 +116,10 @@ def main(argv=None):
     p.add_argument("--data", default="/root/reference/examples/BERT4Rec/raw_data/beauty.txt")
     p.add_argument("--model_dir", required=True)
     p.add_argument("--preset", choices=["parity", "tpu"], default="parity")
+    p.add_argument(
+        "--dtype", default="", choices=["", "float32", "bfloat16"],
+        help="override the preset's activation dtype",
+    )
     p.add_argument(
         "--parity_scale", action="store_true",
         help="parity preset: scale the encoder to --d_model/--layers/--heads "
