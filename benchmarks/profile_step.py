@@ -53,7 +53,7 @@ def main(argv=None):
     p.add_argument("--d_model", type=int, default=256)
     p.add_argument("--layers", type=int, default=4)
     p.add_argument("--dropout", type=float, default=0.1)
-    p.add_argument("--attn_impl", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--attn_impl", default="xla", choices=["xla", "xla_4d", "pallas"])
     p.add_argument("--dropout_impl", default="xla", choices=["xla", "pallas"])
     p.add_argument("--embed_impl", default="xla", choices=["xla", "pallas"])
     p.add_argument("--mu_dtype", default="float32", choices=["float32", "bfloat16"])

@@ -44,6 +44,38 @@ def scaled_dot_product_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
 
+def attention_per_head(
+    qf: jnp.ndarray,
+    kf: jnp.ndarray,
+    vf: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    num_heads: int,
+) -> jnp.ndarray:
+    """Masked MHA over the flat (B, L, D) projections, one head at a time.
+
+    Heads are lane sub-ranges of D; each head's attention is a pair of 3-D
+    einsums over contiguous slices. No (B, L, H, Dh) tensor ever exists, so
+    XLA's layout assignment has nothing to transpose — the 4-D head-major
+    formulations (either operand order) cost ~1.2 ms/step in layout copies
+    at the flagship shape (device traces, KERNELS.md round 2).
+    """
+    d = qf.shape[-1]
+    dh = d // num_heads
+    b2 = None if bias is None else bias[:, 0, 0][:, None, :].astype(jnp.float32)
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        s = jnp.einsum(
+            "bqd,bkd->bqk", qf[..., sl], kf[..., sl],
+            preferred_element_type=jnp.float32,
+        ) / jnp.sqrt(jnp.float32(dh))
+        if b2 is not None:
+            s = s + b2
+        p = jax.nn.softmax(s, axis=-1).astype(qf.dtype)
+        outs.append(jnp.einsum("bqk,bkd->bqd", p, vf[..., sl]))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def attention_blhd(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -94,9 +126,15 @@ class MultiHeadAttention(nn.Module):
             )
             attn = flash_attention(split(qf), split(kf), split(vf), bias)
             attn = attn.transpose(0, 2, 1, 3)
-        else:
+        elif self.attn_impl == "xla_4d":
+            # reference-shaped head-major path, kept for comparison
             split = lambda t: t.reshape(b, l, self.num_heads, depth)  # noqa: E731
-            attn = attention_blhd(split(qf), split(kf), split(vf), bias)
+            attn = attention_blhd(split(qf), split(kf), split(vf), bias).reshape(
+                b, l, self.d_model
+            )
+            return dense("wo")(attn)
+        else:
+            attn = attention_per_head(qf, kf, vf, bias, self.num_heads)
         attn = attn.reshape(b, l, self.d_model)
         return dense("wo")(attn)
 

@@ -179,3 +179,22 @@ class TestFusedMHA:
 
         assert fused_mha_supported(53, 256, 4)
         assert not fused_mha_supported(4096, 256, 4)
+
+
+def test_attention_per_head_matches_bhld():
+    from bert4clickpath_tpu.models.encoder import attention_per_head
+
+    rng = np.random.default_rng(11)
+    b, h, l, dh = 2, 4, 16, 8
+    qf, kf, vf = (rng.normal(size=(b, l, h * dh)).astype(np.float32) for _ in range(3))
+    bias = np.where(rng.random((b, 1, 1, l)) < 0.2, -1e9, 0.0).astype(np.float32)
+    split = lambda t: jnp.transpose(
+        jnp.reshape(jnp.asarray(t), (b, l, h, dh)), (0, 2, 1, 3)
+    )
+    want = jnp.transpose(
+        scaled_dot_product_attention(split(qf), split(kf), split(vf), bias),
+        (0, 2, 1, 3),
+    ).reshape(b, l, h * dh)
+    got = attention_per_head(jnp.asarray(qf), jnp.asarray(kf), jnp.asarray(vf),
+                             jnp.asarray(bias), h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
