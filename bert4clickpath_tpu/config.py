@@ -50,10 +50,17 @@ class HeadConfig:
     kind: str = "softmax"
     dense_dims: tuple[int, ...] = ()
     output_size: int = 0  # V for softmax/multilabel; ignored for binary/tied
+    # tied_softmax only: add a free per-item output bias (BERT's MLM decoder
+    # ties weights but keeps its own bias). Lets popularity live in the bias
+    # instead of distorting embedding norms. Dense-logits path only — the
+    # fused-CE kernel path asserts it off.
+    tied_bias: bool = False
 
     def __post_init__(self):
         if self.kind not in ("softmax", "tied_softmax", "binary", "multilabel"):
             raise ValueError(f"unknown head kind {self.kind!r}")
+        if self.tied_bias and self.kind != "tied_softmax":
+            raise ValueError("tied_bias requires kind='tied_softmax'")
 
 
 @dataclass(frozen=True)

@@ -127,6 +127,15 @@ class ClickstreamModel(nn.Module):
                     d_item, dtype=self._dtype, param_dtype=jnp.float32,
                     name="tied_proj",
                 )
+            if head.tied_bias:
+                v = head.output_size or (
+                    cfg.features[cfg.item_feature].vocab_rows
+                    - NUM_RESERVED_TOKENS
+                    - 1
+                )
+                self.tied_out_bias = self.param(
+                    "tied_out_bias", nn.initializers.zeros, (v,), jnp.float32
+                )
 
     def encode(
         self, features: dict[str, jnp.ndarray], deterministic: bool = True
@@ -291,9 +300,12 @@ class ClickstreamModel(nn.Module):
         table = self.embeds[cfg.item_feature].embedding  # (rows, D_item)
         v = cfg.head.output_size or (table.shape[0] - NUM_RESERVED_TOKENS - 1)
         weights = table[NUM_RESERVED_TOKENS : NUM_RESERVED_TOKENS + v]
-        return jnp.einsum(
+        logits = jnp.einsum(
             "bpd,vd->bpv",
             x,
             weights.astype(self._dtype),
             preferred_element_type=jnp.float32,
         )
+        if cfg.head.tied_bias:
+            logits = logits + self.tied_out_bias
+        return logits

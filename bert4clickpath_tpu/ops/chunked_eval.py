@@ -75,11 +75,14 @@ def chunked_scores(
     num_valid: Optional[int] = None,
     chunk: int = 8192,
     base_row: int | jnp.ndarray = 0,
+    bias: Optional[jnp.ndarray] = None,  # (V,) per-row logit bias, model space
 ):
     """Returns (logz, label_logit, topk_vals, topk_rows) with global row ids.
 
     ``base_row``: global row id of table[0] (shard offset under shard_map).
     Requires V % chunk == 0 (pad the table; padding rows are blinded).
+    ``bias`` supports tied heads with a free per-item output bias
+    (HeadConfig.tied_bias); indexed like ``table`` rows.
     """
     v, d = table.shape
     assert v % chunk == 0, f"table rows {v} not divisible by chunk {chunk}"
@@ -91,12 +94,14 @@ def chunked_scores(
     )
     base_row = jnp.asarray(base_row, jnp.int32)
 
-    def body(carry, table_chunk_and_idx):
+    def body(carry, scanned):
         m, l, g, tv, ti = carry
-        table_chunk, ci = table_chunk_and_idx
+        table_chunk, ci = scanned[0], scanned[1]
         logits = (
             xf @ table_chunk.astype(jnp.float32).T
         )  # (n, C)
+        if bias is not None:
+            logits = logits + scanned[2].astype(jnp.float32)[None, :]
         rows = base_row + ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
         if num_valid is not None:
             valid = (rows >= row_offset) & (rows < row_offset + num_valid)
@@ -128,7 +133,10 @@ def chunked_scores(
     )
     chunks = table.reshape(v // chunk, chunk, d)
     idxs = jnp.arange(v // chunk, dtype=jnp.int32)
-    (m, l, g, tv, ti), _ = jax.lax.scan(body, carry0, (chunks, idxs))
+    scanned = (chunks, idxs)
+    if bias is not None:
+        scanned = scanned + (bias.reshape(v // chunk, chunk),)
+    (m, l, g, tv, ti), _ = jax.lax.scan(body, carry0, scanned)
     logz = m + jnp.log(jnp.maximum(l, 1e-30))
     return (
         logz.reshape(b, p),
@@ -146,11 +154,12 @@ def chunked_eval_stats(
     row_offset: int = 0,
     num_valid: Optional[int] = None,
     chunk: int = 8192,
+    bias: Optional[jnp.ndarray] = None,
 ) -> dict[str, jnp.ndarray]:
     """loss_sum + recall@k/NDCG@k sums, single device, any catalog size."""
     kmax = max(ks)
     logz, label_logit, _, top_rows = chunked_scores(
-        x, table, labels, kmax, row_offset, num_valid, chunk
+        x, table, labels, kmax, row_offset, num_valid, chunk, bias=bias
     )
     return ranking_sums_from_topk(
         logz, label_logit, top_rows - row_offset, labels, ks

@@ -117,6 +117,10 @@ def _check_spmd_supported(config: ModelConfig) -> None:
         "the vocab-sharded SPMD step uses the tied head; for MLP-softmax/"
         "binary/multilabel heads use make_dp_train_step (pure data parallel)"
     )
+    assert not config.head.tied_bias, (
+        "tied_bias is not wired into the sharded fused CE; train tied_bias "
+        "configs on the dense-logits path"
+    )
 
 
 def _encoder_module(config: ModelConfig, remat: bool = False) -> Encoder:

@@ -120,6 +120,11 @@ def make_train_step(
     use_fused = (
         fused_ce_num_valid is not None and model.config.head.kind == "tied_softmax"
     )
+    if use_fused and model.config.head.tied_bias:
+        raise ValueError(
+            "the fused-CE kernel has no per-item bias input; tied_bias "
+            "configs train via dense logits (omit fused_ce_num_valid)"
+        )
     if use_fused and axis_name is not None:
         raise ValueError(
             "fused_ce_num_valid computes a locally-normalized masked mean; "
@@ -217,6 +222,14 @@ def make_eval_step(
             ]
             from bert4clickpath_tpu.ops.chunked_eval import pick_chunk
 
+            bias = None
+            if model.config.head.tied_bias:
+                # (V_label,) bias spread onto model-space rows; pad rows 0
+                b = params["params"]["tied_out_bias"]
+                bias = jnp.zeros((table.shape[0],), b.dtype)
+                bias = jax.lax.dynamic_update_slice(
+                    bias, b, (NUM_RESERVED_TOKENS,)
+                )
             return chunked_eval_stats(
                 gathered,
                 table,
@@ -225,6 +238,7 @@ def make_eval_step(
                 row_offset=NUM_RESERVED_TOKENS,
                 num_valid=chunked_num_valid,
                 chunk=pick_chunk(table.shape[0]),
+                bias=bias,
             )
 
         return jax.jit(chunked_step)

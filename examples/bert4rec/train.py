@@ -97,6 +97,7 @@ def build_model_config(preset: str, vocab, args) -> ModelConfig:
                     int(x) for x in args.head_dims.split(",") if x
                 ),
                 output_size=vocab.label_vocab_size,
+                tied_bias=args.tied_bias,
             ),
             dtype=args.dtype or "bfloat16",
         )
@@ -170,6 +171,11 @@ def main(argv=None):
     p.add_argument(
         "--attn_impl", default="xla", choices=["xla", "pallas"],
         help="pallas = fused whole-row MHA (short L) / blockwise flash (long L)",
+    )
+    p.add_argument(
+        "--tied_bias", action="store_true",
+        help="tpu preset: free per-item output bias on the tied head "
+        "(BERT MLM-decoder style; dense-logits training path)",
     )
     p.add_argument("--init_ckpt", default=None, help="warm-start params path")
     p.add_argument(
@@ -267,9 +273,12 @@ def main(argv=None):
         model,
         tx,
         schedule,
-        # tied head trains through the fused Pallas CE (no dense logits)
+        # tied head trains through the fused Pallas CE (no dense logits);
+        # tied_bias has no kernel input yet, so it takes the dense path
         fused_ce_num_valid=(
-            vocab.label_vocab_size if cfg.head.kind == "tied_softmax" else None
+            vocab.label_vocab_size
+            if cfg.head.kind == "tied_softmax" and not cfg.head.tied_bias
+            else None
         ),
     )
     eval_step = make_eval_step(

@@ -338,3 +338,56 @@ def test_factorized_input_identity_when_equal():
     want = base.apply(params, feats, pos)
     got = model.apply(params, feats, pos)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_tied_bias_output():
+    """tied_bias adds a free per-item logit bias (BERT MLM-decoder style):
+    zero-init leaves logits unchanged; a bumped bias shifts exactly that
+    item's logit everywhere, and the chunked eval path sees the same bias."""
+    from bert4clickpath_tpu.ops.chunked_eval import chunked_eval_stats, pick_chunk
+
+    cfg = _cfg(head=HeadConfig("tied_softmax", tied_bias=True))
+    model = ClickstreamModel(cfg)
+    feats = {"items": jnp.asarray(np.full((2, 7), 12, np.int32))}
+    pos = jnp.zeros((2, 3), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, feats, pos)
+    base = model.apply(params, feats, pos)
+    assert "tied_out_bias" in params["params"]
+
+    bumped = jax.tree_util.tree_map(lambda x: x, params)
+    b = np.zeros(base.shape[-1], np.float32)
+    b[3] = 5.0
+    bumped["params"]["tied_out_bias"] = jnp.asarray(b)
+    out = model.apply(bumped, feats, pos)
+    np.testing.assert_allclose(
+        np.asarray(out - base)[..., 3], 5.0, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out - base)[..., :3], 0.0, atol=1e-5
+    )
+
+    # chunked eval must score with the same bias: compare label_logit-driven
+    # loss sums between dense and chunked paths
+    from bert4clickpath_tpu.constants import NUM_RESERVED_TOKENS
+    from bert4clickpath_tpu.ops.losses import masked_softmax_cross_entropy
+
+    labels = jnp.asarray(np.array([[3, -1, -1], [0, 1, -1]], np.int32))
+    gathered = model.apply(
+        bumped, feats, pos, deterministic=True, method="gather_head_inputs"
+    )
+    table = bumped["params"]["embed_items"]["embedding"]
+    v = base.shape[-1]
+    full_bias = jnp.zeros((table.shape[0],), jnp.float32)
+    full_bias = full_bias.at[NUM_RESERVED_TOKENS : NUM_RESERVED_TOKENS + v].set(
+        bumped["params"]["tied_out_bias"]
+    )
+    stats = chunked_eval_stats(
+        gathered, table, labels,
+        row_offset=NUM_RESERVED_TOKENS, num_valid=v,
+        chunk=pick_chunk(table.shape[0]), bias=full_bias,
+    )
+    dense_loss = masked_softmax_cross_entropy(
+        model.apply(bumped, feats, pos), labels
+    )
+    n = float(stats["n"])
+    assert np.isclose(float(stats["loss_sum"]) / n, float(dense_loss), rtol=1e-5)
