@@ -183,6 +183,11 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 50  # steps
     remat: bool = False  # jax.checkpoint the encoder layers
+    # EMA of params for eval/export (0 disables). Polyak averaging is a
+    # standard production-recsys quality lever the reference lacks; the
+    # shadow is updated in the train step and ranked/exported instead of
+    # the raw params (training/train_state.py:eval_params).
+    ema_decay: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -36,7 +36,7 @@ from bert4clickpath_tpu.models.positional import sinusoidal_positions
 from bert4clickpath_tpu.ops.masking import padding_bias, segment_ids
 from bert4clickpath_tpu.parallel import embedding as emb_ops
 from bert4clickpath_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-from bert4clickpath_tpu.training.train_state import TrainState
+from bert4clickpath_tpu.training.train_state import TrainState, ema_update
 
 
 def round_up(x: int, m: int) -> int:
@@ -79,7 +79,14 @@ def state_specs(state: TrainState, config: ModelConfig):
         return P()
 
     o_spec = jax.tree_util.tree_map_with_path(opt_spec, state.opt_state)
-    return TrainState(step=P(), params=p_spec, opt_state=o_spec, lr_scale=P())
+    e_spec = (
+        None
+        if state.ema_params is None
+        else param_specs(state.ema_params, config)
+    )
+    return TrainState(
+        step=P(), params=p_spec, opt_state=o_spec, lr_scale=P(), ema_params=e_spec
+    )
 
 
 def batch_specs(config: ModelConfig):
@@ -221,11 +228,13 @@ def make_spmd_train_step(
     schedule: Callable,
     label_vocab_size: int,
     remat: bool = False,
+    ema_decay: float = 0.0,
 ):
     """Jitted sharded train step: (state, batch, rng) -> (state, loss).
 
     Requires head kind 'tied_softmax' and a single (item) sharded feature for
-    the projection (the flagship large-catalog config).
+    the projection (the flagship large-catalog config). ema_decay > 0
+    maintains the EMA shadow (sharded like params).
     """
     _check_spmd_supported(config)
     encoder = _encoder_module(config, remat)
@@ -275,8 +284,15 @@ def make_spmd_train_step(
         lr = schedule(state.step) * state.lr_scale
         updates = jax.tree.map(lambda u: u * lr, updates)
         params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema_decay > 0.0:
+            if ema is None:
+                raise ValueError(
+                    "ema_decay > 0 requires TrainState.create(..., ema=True)"
+                )
+            ema = ema_update(ema, params, state.step, ema_decay)
         new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state
+            step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
         )
         return new_state, loss
 
@@ -408,6 +424,7 @@ def make_dp_train_step(
     tx: optax.GradientTransformation,
     schedule: Callable,
     pos_weight: Optional[float] = None,
+    ema_decay: float = 0.0,
 ):
     """Jitted data-parallel train step for any head kind.
 
@@ -438,8 +455,15 @@ def make_dp_train_step(
         lr = schedule(state.step) * state.lr_scale
         updates = jax.tree.map(lambda u: u * lr, updates)
         params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema_decay > 0.0:
+            if ema is None:
+                raise ValueError(
+                    "ema_decay > 0 requires TrainState.create(..., ema=True)"
+                )
+            ema = ema_update(ema, params, state.step, ema_decay)
         new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state
+            step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
         )
         return new_state, loss
 

@@ -33,15 +33,35 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     lr_scale: jnp.ndarray  # plateau-decayed multiplier
+    ema_params: Any = None  # EMA shadow of params (None when disabled)
 
     @classmethod
-    def create(cls, params, tx):
+    def create(cls, params, tx, ema: bool = False):
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
             lr_scale=jnp.ones((), jnp.float32),
+            ema_params=jax.tree.map(jnp.copy, params) if ema else None,
         )
+
+
+def eval_params(state: TrainState):
+    """Parameters to evaluate/export with: the EMA shadow when enabled."""
+    return state.params if state.ema_params is None else state.ema_params
+
+
+def ema_update(ema_params, params, step, decay: float):
+    """Ramped EMA: decay_t = min(decay, (1+t)/(10+t)).
+
+    The ramp (TF ExponentialMovingAverage's num_updates form) makes early
+    averages track params closely instead of the init point, so no debias
+    state is needed.
+    """
+    d = jnp.minimum(decay, (1.0 + step) / (10.0 + step)).astype(jnp.float32)
+    return jax.tree.map(
+        lambda e, p: (d * e + (1.0 - d) * p.astype(e.dtype)), ema_params, params
+    )
 
 
 def make_optimizer(
@@ -104,8 +124,13 @@ def make_train_step(
     axis_name: Optional[str] = None,
     donate: bool = True,
     fused_ce_num_valid: Optional[int] = None,
+    ema_decay: float = 0.0,
 ):
     """Returns jitted ``(state, batch, rng) -> (state, loss)``.
+
+    ema_decay > 0 maintains an EMA shadow of the params (state.ema_params,
+    created via ``TrainState.create(..., ema=True)``); evaluation/export
+    should read ``eval_params(state)``.
 
     batch: {'features': {...}, 'head_positions': (B,P), 'labels': (B,P)}.
     Under pjit, pass ``axis_name='data'`` so loss normalization psums.
@@ -179,7 +204,16 @@ def make_train_step(
         lr = schedule(state.step) * state.lr_scale
         updates = jax.tree.map(lambda u: u * lr, updates)
         params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+        ema = state.ema_params
+        if ema_decay > 0.0:
+            if ema is None:
+                raise ValueError(
+                    "ema_decay > 0 requires TrainState.create(..., ema=True)"
+                )
+            ema = ema_update(ema, params, state.step, ema_decay)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
+        )
         return new_state, loss
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -31,7 +31,7 @@ import numpy as np
 from bert4clickpath_tpu.config import TrainConfig
 from bert4clickpath_tpu.ops import metrics as metrics_lib
 from bert4clickpath_tpu.training import checkpoint as ckpt_lib
-from bert4clickpath_tpu.training.train_state import TrainState
+from bert4clickpath_tpu.training.train_state import TrainState, eval_params
 
 
 class Trainer:
@@ -173,7 +173,8 @@ class Trainer:
             if not do_eval:
                 self._log(record)
                 continue
-            val = self.evaluate(state.params, eval_batches_fn())
+            # EMA-enabled states validate and export the shadow params
+            val = self.evaluate(eval_params(state), eval_batches_fn())
             record["val_loss"] = float(val.get("loss", float("nan")))
             for k, v in val.items():
                 if k not in ("loss", "n"):
@@ -201,7 +202,7 @@ class Trainer:
                         block=False,
                     )
                 if self.export_fn is not None and self.is_host0:
-                    self.export_fn(jax.device_get(state.params))
+                    self.export_fn(jax.device_get(eval_params(state)))
             else:
                 epochs_since_best += 1
                 epochs_since_plateau_cut += 1

@@ -169,6 +169,11 @@ def main(argv=None):
         help="Adam first-moment dtype; bfloat16 halves its HBM traffic",
     )
     p.add_argument(
+        "--ema_decay", type=float, default=0.0,
+        help="EMA of params for eval/export (e.g. 0.999; 0 disables). "
+        "Resume requires the checkpoint to carry the same EMA setting.",
+    )
+    p.add_argument(
         "--attn_impl", default="xla", choices=["xla", "pallas"],
         help="pallas = fused whole-row MHA (short L) / blockwise flash (long L)",
     )
@@ -253,7 +258,7 @@ def main(argv=None):
         weight_decay=args.weight_decay,
         decay_tables=args.wd_tables,
     )
-    state = TrainState.create(params, tx)
+    state = TrainState.create(params, tx, ema=args.ema_decay > 0)
     if args.resume:
         latest = ckpt_lib.latest_checkpoint(os.path.join(args.model_dir, "ckpts"))
         if latest:
@@ -280,6 +285,7 @@ def main(argv=None):
             if cfg.head.kind == "tied_softmax" and not cfg.head.tied_bias
             else None
         ),
+        ema_decay=args.ema_decay,
     )
     eval_step = make_eval_step(
         model,
