@@ -35,18 +35,28 @@ class SoftmaxHead(nn.Module):
 
     The "parity head": reference BERT4Rec uses dims [1024, 512, 256, 128]
     into the full catalog (source/main.py:262-263).
+
+    ``trunk`` exposes everything up to (but excluding) the final ``out``
+    projection, so training can stream ``out`` through the fused Pallas CE
+    kernel (ops/pallas/fused_ce.fused_softmax_ce_bias) instead of
+    materializing the (B, P, V) logits.
     """
 
     dense_dims: tuple[int, ...]
     output_size: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.mlp = _MLP(self.dense_dims, self.dtype)
+        self.out = nn.Dense(
+            self.output_size, dtype=self.dtype, param_dtype=jnp.float32
+        )
+
+    def trunk(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.mlp(x)
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = _MLP(self.dense_dims, self.dtype, name="mlp")(x)
-        return nn.Dense(
-            self.output_size, dtype=self.dtype, param_dtype=jnp.float32, name="out"
-        )(x)
+        return self.out(self.mlp(x))
 
 
 class BinaryHead(nn.Module):

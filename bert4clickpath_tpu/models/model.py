@@ -227,6 +227,20 @@ class ClickstreamModel(nn.Module):
             x = self.tied_proj(x.astype(self._dtype))
         return x
 
+    def _route(
+        self, h: jnp.ndarray, head_positions: Optional[jnp.ndarray]
+    ) -> jnp.ndarray:
+        """Gather the head's input positions from the encoder output."""
+        cfg = self.config
+        if cfg.routing == "mask":
+            if head_positions is None:
+                raise ValueError("routing='mask' requires head_positions")
+            return jnp.take_along_axis(
+                h, head_positions[..., None].astype(jnp.int32), axis=1
+            )
+        start, end = cfg.segment_bounds
+        return h[:, start:end]
+
     def gather_head_inputs(
         self,
         features: dict[str, jnp.ndarray],
@@ -241,18 +255,30 @@ class ClickstreamModel(nn.Module):
         kernel consumes (ops/pallas/fused_ce.py), so the (B, P, V) logits
         never materialize. Use via ``model.apply(..., method='gather_head_inputs')``.
         """
-        cfg = self.config
         h = self.encode(features, deterministic)
-        if cfg.routing == "mask":
-            if head_positions is None:
-                raise ValueError("routing='mask' requires head_positions")
-            gathered = jnp.take_along_axis(
-                h, head_positions[..., None].astype(jnp.int32), axis=1
-            )
-        else:
-            start, end = cfg.segment_bounds
-            gathered = h[:, start:end]
+        gathered = self._route(h, head_positions)
         return self.apply_tied_transform(gathered).astype(jnp.float32)
+
+    def head_trunk_outputs(
+        self,
+        features: dict[str, jnp.ndarray],
+        head_positions: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Encode, gather, and run the softmax head's MLP trunk — every
+        layer EXCEPT the final ``Dense(V)`` catalog projection.
+
+        (B, P, d_trunk) f32 — the fused-CE input for the ``softmax``
+        (reference parity MLP) head; the counterpart of
+        ``gather_head_inputs`` for tied heads. The final projection's
+        kernel/bias feed ``fused_softmax_ce_bias`` directly, so the
+        (B, P, V) logits never materialize.
+        """
+        if self.config.head.kind != "softmax":
+            raise ValueError("head_trunk_outputs requires head kind 'softmax'")
+        h = self.encode(features, deterministic)
+        gathered = self._route(h, head_positions)
+        return self.head.trunk(gathered).astype(jnp.float32)
 
     def __call__(
         self,
@@ -270,15 +296,7 @@ class ClickstreamModel(nn.Module):
         """
         cfg = self.config
         h = self.encode(features, deterministic)
-        if cfg.routing == "mask":
-            if head_positions is None:
-                raise ValueError("routing='mask' requires head_positions")
-            gathered = jnp.take_along_axis(
-                h, head_positions[..., None].astype(jnp.int32), axis=1
-            )  # (B, P, d_model)
-        else:
-            start, end = cfg.segment_bounds
-            gathered = h[:, start:end]
+        gathered = self._route(h, head_positions)  # (B, P, d_model)
         if cfg.head.kind == "tied_softmax":
             return self._tied_logits(gathered)
         return self.head(gathered)

@@ -75,15 +75,17 @@ def _fwd_kernel(
     row_start_ref,  # (1, 1) SMEM: global row id of this table's first row
     x_ref,  # (Tn, D)
     w_ref,  # (Tv, D)
-    lab_ref,  # (Tn, 1) int32 global model-space labels (pad rows carry -1)
-    m_ref,  # (Tn, 1) out: running max
-    l_ref,  # (Tn, 1) out: running sumexp
-    g_ref,  # (Tn, 1) out: label logit
-    *,
+    *rest,  # [b_ref (1, Tv) when has_bias] lab_ref, m_ref, l_ref, g_ref
     tv: int,
     row_offset: int,
     num_valid: int,
+    has_bias: bool = False,
 ):
+    if has_bias:
+        b_ref, lab_ref, m_ref, l_ref, g_ref = rest
+    else:
+        lab_ref, m_ref, l_ref, g_ref = rest
+        b_ref = None
     j = pl.program_id(1)
     row_start = row_start_ref[0, 0]
 
@@ -101,6 +103,8 @@ def _fwd_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (Tn, Tv)
+    if has_bias:
+        s = s + b_ref[:]  # (1, Tv) broadcasts over rows; before blinding
 
     tile0 = row_start + j * tv
     rows = tile0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
@@ -131,42 +135,55 @@ def _fwd_kernel(
     g_ref[:] = g_ref[:] + jnp.sum(s * onehot, axis=1, keepdims=True)
 
 
-def _fwd_stats(x, table, labels_model, row_start, row_offset, num_valid):
+def _fwd_stats(x, table, labels_model, row_start, row_offset, num_valid, bias=None):
     """Online (max, sumexp, label-logit) over this table's rows.
 
     ``row_start`` (traced int32 scalar) is the global row id of
     ``table[0]`` — 0 single-chip, ``shard_index * V_local`` under shard_map.
+    ``bias`` (optional, (1, V) f32): per-row logit bias added before blinding.
     """
     n, d = x.shape
     v = table.shape[0]
     tn, tv = _row_tile(n), _vocab_tile(v)
     grid = (n // tn, v // tv)
     kernel = functools.partial(
-        _fwd_kernel, tv=tv, row_offset=row_offset, num_valid=num_valid
+        _fwd_kernel, tv=tv, row_offset=row_offset, num_valid=num_valid,
+        has_bias=bias is not None,
     )
     out_shape = [jax.ShapeDtypeStruct((n, 1), jnp.float32)] * 3
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tv, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [jnp.reshape(row_start.astype(jnp.int32), (1, 1)), x, table]
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec((1, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        )
+        operands.append(bias.astype(jnp.float32))
+    in_specs.append(
+        pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    )
+    operands.append(labels_model)
     m, l, g = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tv, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
         ]
         * 3,
         out_shape=out_shape,
         interpret=_interpret(),
-    )(jnp.reshape(row_start.astype(jnp.int32), (1, 1)), x, table, labels_model)
+    )(*operands)
     return m, l, g
 
 
-def _fwd(x, table, labels_model, row_offset, num_valid):
+def _fwd(x, table, labels_model, row_offset, num_valid, bias=None):
     m, l, g = _fwd_stats(
-        x, table, labels_model, jnp.zeros((), jnp.int32), row_offset, num_valid
+        x, table, labels_model, jnp.zeros((), jnp.int32), row_offset, num_valid,
+        bias=bias,
     )
     logz = m[:, 0] + jnp.log(l[:, 0])
     return logz, g[:, 0]
@@ -175,7 +192,8 @@ def _fwd(x, table, labels_model, row_offset, num_valid):
 # -- backward kernel ------------------------------------------------------
 
 
-def _softmax_adjoint(x, w, lab, logz, dnll, tile0, tv, row_offset, num_valid):
+def _softmax_adjoint(x, w, lab, logz, dnll, tile0, tv, row_offset, num_valid,
+                     bias=None):
     """Recompute the tile's A = dnll * (softmax - onehot) on the MXU/VPU."""
     s = jax.lax.dot_general(
         x,
@@ -183,6 +201,8 @@ def _softmax_adjoint(x, w, lab, logz, dnll, tile0, tv, row_offset, num_valid):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if bias is not None:
+        s = s + bias  # (1, Tv) broadcasts; before blinding (as forward)
     rows = tile0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
     interior = (tile0 >= row_offset) & (tile0 + tv <= row_offset + num_valid)
     s = jax.lax.cond(
@@ -199,10 +219,15 @@ def _softmax_adjoint(x, w, lab, logz, dnll, tile0, tv, row_offset, num_valid):
 
 
 def _bwd_dx_kernel(
-    row_start_ref, x_ref, w_ref, lab_ref, logz_ref, dnll_ref, dx_ref,
-    *, tv, row_offset, num_valid
+    row_start_ref, x_ref, w_ref, *rest,
+    tv, row_offset, num_valid, has_bias=False
 ):
     # grid (i, j), j inner: dx block i revisited consecutively -> accumulate
+    if has_bias:
+        b_ref, lab_ref, logz_ref, dnll_ref, dx_ref = rest
+    else:
+        lab_ref, logz_ref, dnll_ref, dx_ref = rest
+        b_ref = None
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -213,6 +238,7 @@ def _bwd_dx_kernel(
     a = _softmax_adjoint(
         x_ref[:], w, lab_ref[:], logz_ref[:], dnll_ref[:],
         row_start_ref[0, 0] + j * tv, tv, row_offset, num_valid,
+        bias=None if b_ref is None else b_ref[:],
     )
     dx_ref[:] += jax.lax.dot_general(
         a.astype(x_ref.dtype), w, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -221,45 +247,68 @@ def _bwd_dx_kernel(
 
 
 def _bwd_dw_kernel(
-    row_start_ref, x_ref, w_ref, lab_ref, logz_ref, dnll_ref, dw_ref,
-    *, tv, row_offset, num_valid
+    row_start_ref, x_ref, w_ref, *rest,
+    tv, row_offset, num_valid, has_bias=False
 ):
-    # grid (j, i), i inner: dw block j revisited consecutively -> accumulate
+    # grid (j, i), i inner: dw (and db) block j revisited consecutively ->
+    # accumulate
+    if has_bias:
+        b_ref, lab_ref, logz_ref, dnll_ref, dw_ref, db_ref = rest
+    else:
+        lab_ref, logz_ref, dnll_ref, dw_ref = rest
+        b_ref = db_ref = None
     j = pl.program_id(0)
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _init():
         dw_ref[:] = jnp.zeros_like(dw_ref)
+        if db_ref is not None:
+            db_ref[:] = jnp.zeros_like(db_ref)
 
     x = x_ref[:]
     a = _softmax_adjoint(
         x, w_ref[:].astype(x.dtype), lab_ref[:], logz_ref[:], dnll_ref[:],
         row_start_ref[0, 0] + j * tv, tv, row_offset, num_valid,
+        bias=None if b_ref is None else b_ref[:],
     )
     dw_ref[:] += jax.lax.dot_general(
         a.astype(x.dtype), x, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dw_ref.dtype)
+    if db_ref is not None:
+        db_ref[:] += jnp.sum(a, axis=0, keepdims=True)
 
 
 def _bwd(x, table, labels_model, logz, dnll, row_offset, num_valid,
-         row_start=None):
+         row_start=None, bias=None):
     n, d = x.shape
     v = table.shape[0]
     tn, tv = _row_tile(n), _vocab_tile(v)
     if row_start is None:
         row_start = jnp.zeros((), jnp.int32)
     row_start = jnp.reshape(row_start.astype(jnp.int32), (1, 1))
-    common = dict(tv=tv, row_offset=row_offset, num_valid=num_valid)
+    has_bias = bias is not None
+    common = dict(
+        tv=tv, row_offset=row_offset, num_valid=num_valid, has_bias=has_bias
+    )
     row_specs = [
         pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tv, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    row_operands = [row_start, x, table]
+    if has_bias:
+        row_specs.append(
+            pl.BlockSpec((1, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        )
+        row_operands.append(bias.astype(jnp.float32))
+    row_specs += [
         pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
     ]
+    row_operands += [labels_model, logz[:, None], dnll[:, None]]
     dx = pl.pallas_call(
         functools.partial(_bwd_dx_kernel, **common),
         grid=(n // tn, v // tv),
@@ -267,27 +316,48 @@ def _bwd(x, table, labels_model, logz, dnll, row_offset, num_valid,
         out_specs=pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, d), x.dtype),
         interpret=_interpret(),
-    )(row_start, x, table, labels_model, logz[:, None], dnll[:, None])
+    )(*row_operands)
     # second kernel: swap grid order so dW's accumulation axis is inner
     col_specs = [
         pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((tn, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tv, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    col_operands = [row_start, x, table]
+    if has_bias:
+        col_specs.append(
+            pl.BlockSpec((1, tv), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+        )
+        col_operands.append(bias.astype(jnp.float32))
+    col_specs += [
         pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
     ]
+    col_operands += [labels_model, logz[:, None], dnll[:, None]]
     # dW accumulates across the inner sweep — keep the buffer f32 so a bf16
     # table never suffers repeated round-off; cast once at the end.
-    dw = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((tv, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM)
+    ]
+    out_shape = [jax.ShapeDtypeStruct((v, d), jnp.float32)]
+    if has_bias:
+        out_specs.append(
+            pl.BlockSpec((1, tv), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((1, v), jnp.float32))
+    outs = pl.pallas_call(
         functools.partial(_bwd_dw_kernel, **common),
         grid=(v // tv, n // tn),
         in_specs=col_specs,
-        out_specs=pl.BlockSpec((tv, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((v, d), jnp.float32),
+        out_specs=out_specs if has_bias else out_specs[0],
+        out_shape=out_shape if has_bias else out_shape[0],
         interpret=_interpret(),
-    )(row_start, x, table, labels_model, logz[:, None], dnll[:, None])
-    return dx, dw.astype(table.dtype)
+    )(*col_operands)
+    if has_bias:
+        dw, db = outs
+        return dx, dw.astype(table.dtype), db
+    return dx, outs.astype(table.dtype)
 
 
 # -- public custom-vjp op -------------------------------------------------
@@ -332,20 +402,88 @@ def _fused_bwd(row_offset, num_valid, res, g):
 fused_softmax_ce.defvjp(_fused_fwd, _fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_softmax_ce_bias(x, table, bias, labels, row_offset: int, num_valid: int):
+    """``fused_softmax_ce`` with a per-row logit bias.
+
+    logits = x @ table^T + bias, with ``bias`` (V,) f32 aligned to the
+    table's model-space rows (pad/reserved rows carry any value — they are
+    blinded). Serves (a) the reference's MLP softmax head, whose final
+    ``Dense(V)`` has a bias (head.py:29-47 via nn.Dense), and (b) tied heads
+    with a free per-item output bias (``tied_bias``). Returns nll (N,) f32;
+    differentiable wrt x, table, and bias.
+    """
+    nll, _ = _fused_bias_fwd(x, table, bias, labels, row_offset, num_valid)
+    return nll
+
+
+def _fused_bias_fwd(x, table, bias, labels, row_offset, num_valid):
+    lab = _labels_model(labels, row_offset)
+    brow = bias.reshape(1, -1)
+    logz, label_logit = _fwd(x, table, lab, row_offset, num_valid, bias=brow)
+    mask = (labels != LABEL_PAD).astype(jnp.float32)
+    nll = (logz - label_logit) * mask
+    return nll, (x, table, bias, labels, logz)
+
+
+def _fused_bias_bwd(row_offset, num_valid, res, g):
+    x, table, bias, labels, logz = res
+    mask = (labels != LABEL_PAD).astype(jnp.float32)
+    dnll = (g * mask).astype(jnp.float32)
+    lab = _labels_model(labels, row_offset)
+    brow = bias.reshape(1, -1)
+    bwd = _bwd_fused if use_fused_backward(*x.shape) else _bwd
+    dx, dw, db = bwd(
+        x, table, lab, logz, dnll, row_offset, num_valid, bias=brow
+    )
+    return dx, dw, db.reshape(bias.shape).astype(bias.dtype), None
+
+
+fused_softmax_ce_bias.defvjp(_fused_bias_fwd, _fused_bias_bwd)
+
+
+def fused_masked_ce_sums(
+    x: jnp.ndarray,  # (B, P, D)
+    table: jnp.ndarray,  # (V, D) model-space rows
+    labels: jnp.ndarray,  # (B, P) label-space, LABEL_PAD padded
+    row_offset: int,
+    num_valid: int,
+    bias: jnp.ndarray | None = None,  # (V,) per-row logit bias
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(nll_sum, mask_count) on this shard — no reduction, no collectives.
+
+    The data-parallel building block: differentiate the local sum, then psum
+    grads/sums OUTSIDE autodiff (parallel/spmd.make_dp_train_step's pattern —
+    collectives inside a differentiated shard_map body mis-transpose
+    silently, see that module's docstring).
+    """
+    b, p, d = x.shape
+    if bias is not None:
+        nll = fused_softmax_ce_bias(
+            x.reshape(b * p, d), table, bias, labels.reshape(-1),
+            row_offset, num_valid,
+        )
+    else:
+        nll = fused_softmax_ce(
+            x.reshape(b * p, d), table, labels.reshape(-1), row_offset, num_valid
+        )
+    mask = (labels.reshape(-1) != LABEL_PAD).astype(jnp.float32)
+    return jnp.sum(nll), jnp.sum(mask)
+
+
 def fused_masked_softmax_cross_entropy(
     x: jnp.ndarray,  # (B, P, D)
     table: jnp.ndarray,  # (V, D) model-space rows
     labels: jnp.ndarray,  # (B, P) label-space, LABEL_PAD padded
     row_offset: int,
     num_valid: int,
+    bias: jnp.ndarray | None = None,  # (V,) per-row logit bias
 ) -> jnp.ndarray:
-    """Drop-in masked-mean CE on top of the fused kernel."""
-    b, p, d = x.shape
-    nll = fused_softmax_ce(
-        x.reshape(b * p, d), table, labels.reshape(-1), row_offset, num_valid
+    """Drop-in masked-mean CE on top of the fused kernel (local mean)."""
+    total, count = fused_masked_ce_sums(
+        x, table, labels, row_offset, num_valid, bias=bias
     )
-    mask = (labels.reshape(-1) != LABEL_PAD).astype(jnp.float32)
-    return jnp.sum(nll) / jnp.maximum(jnp.sum(mask), 1.0)
+    return total / jnp.maximum(count, 1.0)
 
 
 # -- sharded variant (inside shard_map) -----------------------------------
@@ -382,14 +520,28 @@ def _shard_row_start(table_shard, model_axis):
     return (idx * table_shard.shape[0]).astype(jnp.int32)
 
 
-def _sharded_fwd(x, table_shard, labels, row_offset, num_valid, model_axis, data_axis):
+def _local_bias_row(bias_full, row_start, v_local):
+    """This shard's (1, V_local) slice of the replicated model-space bias."""
+    return jax.lax.dynamic_slice(
+        bias_full.astype(jnp.float32), (row_start,), (v_local,)
+    ).reshape(1, -1)
+
+
+def _sharded_fwd_impl(
+    x, table_shard, bias_full, labels, row_offset, num_valid, model_axis, data_axis
+):
     b, p, d = x.shape
     n = b * p
     xf = x.reshape(n, d)
     labf = labels.reshape(-1)
     lab_model = _labels_model(labf, row_offset)
     row_start = _shard_row_start(table_shard, model_axis)
-    m, l, g = _fwd_stats(xf, table_shard, lab_model, row_start, row_offset, num_valid)
+    brow = None
+    if bias_full is not None:
+        brow = _local_bias_row(bias_full, row_start, table_shard.shape[0])
+    m, l, g = _fwd_stats(
+        xf, table_shard, lab_model, row_start, row_offset, num_valid, bias=brow
+    )
     gmax = jax.lax.pmax(m, model_axis)  # (n, 1)
     total = jax.lax.psum(l * jnp.exp(m - gmax), model_axis)
     logz = (gmax + jnp.log(total))[:, 0]  # (n,)
@@ -402,11 +554,11 @@ def _sharded_fwd(x, table_shard, labels, row_offset, num_valid, model_axis, data
         count = jax.lax.psum(count, data_axis)
     count = jnp.maximum(count, 1.0)
     loss = total_loss / count
-    return loss, (x, table_shard, labels, logz, count)
+    return loss, (x, table_shard, bias_full, labels, logz, count)
 
 
-def _sharded_bwd(row_offset, num_valid, model_axis, data_axis, res, gbar):
-    x, table_shard, labels, logz, count = res
+def _sharded_bwd_impl(row_offset, num_valid, model_axis, data_axis, res, gbar):
+    x, table_shard, bias_full, labels, logz, count = res
     b, p, d = x.shape
     n = b * p
     labf = labels.reshape(-1)
@@ -414,8 +566,11 @@ def _sharded_bwd(row_offset, num_valid, model_axis, data_axis, res, gbar):
     dnll = (gbar / count) * mask  # (n,) d(loss)/d(nll_i)
     lab_model = _labels_model(labf, row_offset)
     row_start = _shard_row_start(table_shard, model_axis)
+    brow = None
+    if bias_full is not None:
+        brow = _local_bias_row(bias_full, row_start, table_shard.shape[0])
     bwd = _bwd_fused if use_fused_backward(n, d) else _bwd
-    dx, dw = bwd(
+    outs = bwd(
         x.reshape(n, d),
         table_shard,
         lab_model,
@@ -424,33 +579,115 @@ def _sharded_bwd(row_offset, num_valid, model_axis, data_axis, res, gbar):
         row_offset,
         num_valid,
         row_start=row_start,
+        bias=brow,
     )
     # each shard's dx covers only its vocab rows' contribution
-    dx = jax.lax.psum(dx, model_axis)
-    return dx.reshape(b, p, d), dw, None
+    dx = jax.lax.psum(outs[0], model_axis)
+    dw = outs[1]
+    if bias_full is None:
+        return dx.reshape(b, p, d), dw
+    # bias_full is REPLICATED: scatter this shard's db into its row window
+    # and psum so every shard returns the complete gradient. The psum lives
+    # in this hand-written VJP — never autodiffed through.
+    db_full = jax.lax.dynamic_update_slice(
+        jnp.zeros_like(bias_full, dtype=jnp.float32),
+        outs[2].reshape(-1),
+        (row_start,),
+    )
+    db_full = jax.lax.psum(db_full, model_axis).astype(bias_full.dtype)
+    return dx.reshape(b, p, d), dw, db_full
+
+
+def _sharded_fwd(x, table_shard, labels, row_offset, num_valid, model_axis, data_axis):
+    loss, res = _sharded_fwd_impl(
+        x, table_shard, None, labels, row_offset, num_valid, model_axis, data_axis
+    )
+    x, table_shard, _, labels, logz, count = res
+    return loss, (x, table_shard, labels, logz, count)
+
+
+def _sharded_bwd(row_offset, num_valid, model_axis, data_axis, res, gbar):
+    x, table_shard, labels, logz, count = res
+    dx, dw = _sharded_bwd_impl(
+        row_offset, num_valid, model_axis, data_axis,
+        (x, table_shard, None, labels, logz, count), gbar,
+    )
+    return dx, dw, None
 
 
 sharded_fused_softmax_ce.defvjp(_sharded_fwd, _sharded_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def sharded_fused_softmax_ce_bias(
+    x,
+    table_shard,
+    bias_full,
+    labels,
+    row_offset: int,
+    num_valid: int,
+    model_axis: str = "model",
+    data_axis=None,
+):
+    """``sharded_fused_softmax_ce`` with a replicated model-space bias.
+
+    ``bias_full`` is the FULL (V_total,) model-space per-row bias, replicated
+    on every shard (it is small — one f32 per catalog row); each shard
+    slices its own row window. The VJP returns the complete psum'd bias
+    gradient on every shard, so a replicated bias param (e.g. the tied
+    head's ``tied_out_bias``) trains correctly under vocab sharding.
+    """
+    loss, _ = _sharded_bias_fwd(
+        x, table_shard, bias_full, labels, row_offset, num_valid,
+        model_axis, data_axis,
+    )
+    return loss
+
+
+def _sharded_bias_fwd(
+    x, table_shard, bias_full, labels, row_offset, num_valid, model_axis, data_axis
+):
+    return _sharded_fwd_impl(
+        x, table_shard, bias_full, labels, row_offset, num_valid,
+        model_axis, data_axis,
+    )
+
+
+def _sharded_bias_bwd(row_offset, num_valid, model_axis, data_axis, res, gbar):
+    dx, dw, db = _sharded_bwd_impl(
+        row_offset, num_valid, model_axis, data_axis, res, gbar
+    )
+    return dx, dw, db, None
+
+
+sharded_fused_softmax_ce_bias.defvjp(_sharded_bias_fwd, _sharded_bias_bwd)
 
 
 # -- single-pass backward (dx in VMEM scratch; dw per-block) --------------
 
 
 def _bwd_fused_kernel(
-    row_start_ref, x_ref, w_ref, lab_ref, logz_ref, dnll_ref,
-    dx_ref, dw_ref, dx_acc,
-    *, tn: int, tv: int, row_offset: int, num_valid: int,
+    row_start_ref, x_ref, w_ref, *rest,
+    tn: int, tv: int, row_offset: int, num_valid: int, has_bias: bool = False,
 ):
-    """grid (j, i), i inner: dw block j accumulates across the inner sweep;
-    dx accumulates in a persistent (N, D) VMEM scratch and each dx out-block
-    is (re)written on every visit — only the final j sweep's write survives,
-    which by then holds the full sum. One s-recompute instead of two."""
+    """grid (j, i), i inner: dw (and db) block j accumulates across the inner
+    sweep; dx accumulates in a persistent (N, D) VMEM scratch and each dx
+    out-block is (re)written on every visit — only the final j sweep's write
+    survives, which by then holds the full sum. One s-recompute instead of
+    two."""
+    if has_bias:
+        b_ref, lab_ref, logz_ref, dnll_ref, dx_ref, dw_ref, db_ref, dx_acc = rest
+    else:
+        lab_ref, logz_ref, dnll_ref, dx_ref, dw_ref, dx_acc = rest
+        b_ref = db_ref = None
     j = pl.program_id(0)
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _init_dw():
         dw_ref[:] = jnp.zeros_like(dw_ref)
+        if db_ref is not None:
+            db_ref[:] = jnp.zeros_like(db_ref)
 
     @pl.when(j == 0)
     def _init_dx_acc():
@@ -461,12 +698,15 @@ def _bwd_fused_kernel(
     a = _softmax_adjoint(
         x, w, lab_ref[:], logz_ref[:], dnll_ref[:],
         row_start_ref[0, 0] + j * tv, tv, row_offset, num_valid,
+        bias=None if b_ref is None else b_ref[:],
     )
     ab = a.astype(x.dtype)
     dw_ref[:] += jax.lax.dot_general(
         ab, x, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dw_ref.dtype)
+    if db_ref is not None:
+        db_ref[:] += jnp.sum(a, axis=0, keepdims=True)
     acc = dx_acc[pl.ds(i * tn, tn), :] + jax.lax.dot_general(
         ab, w, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -476,39 +716,61 @@ def _bwd_fused_kernel(
 
 
 def _bwd_fused(x, table, labels_model, logz, dnll, row_offset, num_valid,
-               row_start=None):
+               row_start=None, bias=None):
     n, d = x.shape
     v = table.shape[0]
     tn, tv = _row_tile(n), _vocab_tile(v)
     if row_start is None:
         row_start = jnp.zeros((), jnp.int32)
     row_start = jnp.reshape(row_start.astype(jnp.int32), (1, 1))
-    dx, dw = pl.pallas_call(
+    has_bias = bias is not None
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((tn, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tv, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [row_start, x, table]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((1, tv), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+        )
+        operands.append(bias.astype(jnp.float32))
+    in_specs += [
+        pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    operands += [labels_model, logz[:, None], dnll[:, None]]
+    out_specs = [
+        pl.BlockSpec((tn, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tv, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, d), x.dtype),
+        # f32 so inner-sweep accumulation is exact even for bf16 tables
+        jax.ShapeDtypeStruct((v, d), jnp.float32),
+    ]
+    if has_bias:
+        out_specs.append(
+            pl.BlockSpec((1, tv), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((1, v), jnp.float32))
+    outs = pl.pallas_call(
         functools.partial(
             _bwd_fused_kernel, tn=tn, tv=tv, row_offset=row_offset,
-            num_valid=num_valid,
+            num_valid=num_valid, has_bias=has_bias,
         ),
         grid=(v // tv, n // tn),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((tn, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tv, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tn, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tv, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, d), x.dtype),
-            # f32 so inner-sweep accumulation is exact even for bf16 tables
-            jax.ShapeDtypeStruct((v, d), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((n, d), jnp.float32)],
         interpret=_interpret(),
-    )(row_start, x, table, labels_model, logz[:, None], dnll[:, None])
+    )(*operands)
+    if has_bias:
+        dx, dw, db = outs
+        return dx, dw.astype(table.dtype), db
+    dx, dw = outs
     return dx, dw.astype(table.dtype)
 
 

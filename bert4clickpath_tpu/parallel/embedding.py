@@ -227,6 +227,7 @@ def sharded_chunked_eval_stats(
     label_pad: int = LABEL_PAD,
     row_offset: int = 0,
     num_valid: Optional[int] = None,
+    bias_shard: Optional[jnp.ndarray] = None,  # (V_local,) per-row logit bias
 ) -> dict[str, jnp.ndarray]:
     """Full-catalog eval stats with per-shard *chunked* scanning.
 
@@ -234,7 +235,8 @@ def sharded_chunked_eval_stats(
     chunks (ops/chunked_eval.py) so nothing ever materializes a (B, P,
     V_local) tile — eval works at 10M rows/shard. Cross-shard combine:
     global logsumexp over shard-local logz, psum label logit, all_gather
-    top-k candidates.
+    top-k candidates. ``bias_shard`` adds this shard's slice of a per-row
+    logit bias (tied_bias heads).
     """
     from bert4clickpath_tpu.ops.chunked_eval import chunked_scores
 
@@ -250,6 +252,7 @@ def sharded_chunked_eval_stats(
         num_valid=num_valid,
         chunk=_eval_chunk(v_local),
         base_row=idx * v_local,
+        bias=bias_shard,
     )
     # global logsumexp from shard-local logz
     gmax = jax.lax.pmax(logz_l, model_axis)

@@ -116,17 +116,13 @@ def shard_batch(batch: dict, mesh: Mesh, config: ModelConfig) -> dict:
 
 def _check_spmd_supported(config: ModelConfig) -> None:
     """The vocab-sharded step requires the tied head (the projection shards
-    with the table). Every other model feature — tied transform, segment
-    embeddings, segment routing — is wired; MLP-head configs use the pure
-    data-parallel tier (make_dp_train_step) instead, matching the
+    with the table). Every other model feature — tied transform, tied_bias,
+    segment embeddings, segment routing — is wired; MLP-head configs use the
+    pure data-parallel tier (make_dp_train_step) instead, matching the
     reference's MirroredStrategy scope (source/main.py:46-57)."""
     assert config.head.kind == "tied_softmax", (
         "the vocab-sharded SPMD step uses the tied head; for MLP-softmax/"
         "binary/multilabel heads use make_dp_train_step (pure data parallel)"
-    )
-    assert not config.head.tied_bias, (
-        "tied_bias is not wired into the sharded fused CE; train tied_bias "
-        "configs on the dense-logits path"
     )
 
 
@@ -221,6 +217,17 @@ def _forward_gathered(
     return gathered.astype(jnp.float32), table_shard
 
 
+def _tied_bias_model_space(config: ModelConfig, params) -> jnp.ndarray:
+    """(rows,) model-space bias: the replicated (V_label,) ``tied_out_bias``
+    placed at the reserved-token offset; reserved/OOV/padding rows stay 0
+    (they are blinded anyway)."""
+    b = params["tied_out_bias"]
+    rows = config.features[config.item_feature].vocab_rows
+    return jax.lax.dynamic_update_slice(
+        jnp.zeros((rows,), b.dtype), b, (NUM_RESERVED_TOKENS,)
+    )
+
+
 def make_spmd_train_step(
     config: ModelConfig,
     mesh: Mesh,
@@ -263,8 +270,23 @@ def make_spmd_train_step(
             # only grad-safe CE inside shard_map (see parallel/embedding.py).
             from bert4clickpath_tpu.ops.pallas.fused_ce import (
                 sharded_fused_softmax_ce,
+                sharded_fused_softmax_ce_bias,
             )
 
+            if config.head.tied_bias:
+                # replicated (V_label,) bias spread onto model-space rows;
+                # the bias VJP psums the full gradient onto every shard
+                bias_full = _tied_bias_model_space(config, params)
+                return sharded_fused_softmax_ce_bias(
+                    gathered,
+                    table_shard,
+                    bias_full,
+                    batch["labels"],
+                    NUM_RESERVED_TOKENS,
+                    label_vocab_size,
+                    MODEL_AXIS,
+                    DATA_AXIS,
+                )
             return sharded_fused_softmax_ce(
                 gathered,
                 table_shard,
@@ -331,6 +353,14 @@ def make_spmd_eval_step(
             None,
             deterministic=True,
         )
+        bias_shard = None
+        if config.head.tied_bias:
+            bias_full = _tied_bias_model_space(config, params)
+            idx = jax.lax.axis_index(MODEL_AXIS)
+            v_local = table_shard.shape[0]
+            bias_shard = jax.lax.dynamic_slice(
+                bias_full, (idx * v_local,), (v_local,)
+            )
         # chunked per-shard scan: eval never materializes (B, P, V_local)
         # logits either, so 10M-row shards evaluate fine
         return emb_ops.sharded_chunked_eval_stats(
@@ -342,6 +372,7 @@ def make_spmd_eval_step(
             data_axis=DATA_AXIS,
             row_offset=NUM_RESERVED_TOKENS,
             num_valid=label_vocab_size,
+            bias_shard=bias_shard,
         )
 
     def sharded(params, batch):
@@ -425,6 +456,7 @@ def make_dp_train_step(
     schedule: Callable,
     pos_weight: Optional[float] = None,
     ema_decay: float = 0.0,
+    fused_ce_num_valid: Optional[int] = None,
 ):
     """Jitted data-parallel train step for any head kind.
 
@@ -433,13 +465,28 @@ def make_dp_train_step(
     (``{'params': ...}``), batch rows shard over the ``data`` axis, params
     replicate. Gradient = psum(local-sum grads) / psum(mask count), exactly
     the single-device global-mean gradient.
+
+    fused_ce_num_valid: softmax-family heads only — route each shard's local
+    CE sums through the fused Pallas kernel (no (B_local, P, V) logits);
+    the psum-outside-autodiff reduction is unchanged, so the gradient stays
+    exactly the global mean.
     """
+    if fused_ce_num_valid is not None:
+        assert model.config.head.kind in ("tied_softmax", "softmax"), (
+            "fused_ce_num_valid requires a softmax-family head"
+        )
+        from bert4clickpath_tpu.training.train_state import fused_head_ce_sums
 
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
 
         def total_fn(params):
+            if fused_ce_num_valid is not None:
+                total, count = fused_head_ce_sums(
+                    model, params, batch, rng, fused_ce_num_valid
+                )
+                return total, (count, 1.0)
             return _dp_local_sums(model, batch, rng, params, pos_weight)
 
         (total, (count, scale)), grads = jax.value_and_grad(

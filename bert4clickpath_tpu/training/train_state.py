@@ -106,6 +106,62 @@ def make_optimizer(
     return optax.chain(*steps)
 
 
+def fused_head_ce_sums(model, params, batch, rng, num_valid: int):
+    """(nll_sum, mask_count) through the fused Pallas CE — no (B, P, V)
+    logits, no collectives.
+
+    Covers both softmax-family heads: ``tied_softmax`` projects onto the
+    item table (+ optional ``tied_bias`` spread onto model-space rows);
+    ``softmax`` (the reference parity MLP head) streams its final
+    ``Dense(V)`` kernel+bias through the kernel with rows padded to a vocab
+    tile and blinded. The sums form is the data-parallel building block —
+    reduce OUTSIDE autodiff (parallel/spmd.make_dp_train_step pattern).
+    """
+    from bert4clickpath_tpu.constants import NUM_RESERVED_TOKENS
+    from bert4clickpath_tpu.ops.pallas.fused_ce import fused_masked_ce_sums
+
+    head_kind = model.config.head.kind
+    if head_kind == "tied_softmax":
+        gathered = model.apply(
+            params,
+            batch["features"],
+            batch.get("head_positions"),
+            deterministic=rng is None,
+            rngs=None if rng is None else {"dropout": rng},
+            method="gather_head_inputs",
+        )
+        table = params["params"][f"embed_{model.config.item_feature}"]["embedding"]
+        row_offset = NUM_RESERVED_TOKENS
+        bias = None
+        if model.config.head.tied_bias:
+            # (V_label,) free bias spread onto model-space rows
+            b = params["params"]["tied_out_bias"]
+            bias = jax.lax.dynamic_update_slice(
+                jnp.zeros((table.shape[0],), b.dtype), b, (NUM_RESERVED_TOKENS,)
+            )
+    elif head_kind == "softmax":
+        gathered = model.apply(
+            params,
+            batch["features"],
+            batch.get("head_positions"),
+            deterministic=rng is None,
+            rngs=None if rng is None else {"dropout": rng},
+            method="head_trunk_outputs",
+        )
+        wk = params["params"]["head"]["out"]["kernel"]  # (d_trunk, V)
+        bk = params["params"]["head"]["out"]["bias"]  # (V,)
+        v = wk.shape[1]
+        pad = -v % (1024 if v > 4096 else 128)
+        table = jnp.pad(wk.T, ((0, pad), (0, 0)))  # (Vp, d_trunk)
+        bias = jnp.pad(bk, (0, pad))
+        row_offset = 0
+    else:
+        raise ValueError(f"fused CE requires a softmax-family head, got {head_kind}")
+    return fused_masked_ce_sums(
+        gathered, table, batch["labels"], row_offset, num_valid, bias=bias
+    )
+
+
 def loss_for_head(head_kind: str) -> Callable:
     if head_kind in ("softmax", "tied_softmax"):
         return masked_softmax_cross_entropy
@@ -141,15 +197,12 @@ def make_train_step(
     table rows to be a multiple of the kernel's vocab tile (pad via
     parallel.spmd.padded_vocab_rows-style rounding).
     """
-    loss_fn = loss_fn or loss_for_head(model.config.head.kind)
-    use_fused = (
-        fused_ce_num_valid is not None and model.config.head.kind == "tied_softmax"
+    head_kind = model.config.head.kind
+    loss_fn = loss_fn or loss_for_head(head_kind)
+    use_fused = fused_ce_num_valid is not None and head_kind in (
+        "tied_softmax",
+        "softmax",
     )
-    if use_fused and model.config.head.tied_bias:
-        raise ValueError(
-            "the fused-CE kernel has no per-item bias input; tied_bias "
-            "configs train via dense logits (omit fused_ce_num_valid)"
-        )
     if use_fused and axis_name is not None:
         raise ValueError(
             "fused_ce_num_valid computes a locally-normalized masked mean; "
@@ -157,35 +210,15 @@ def make_train_step(
             "(wrong when shard mask counts differ). Use "
             "parallel.spmd.make_spmd_train_step for the sharded fused path."
         )
-    if use_fused:
-        from bert4clickpath_tpu.constants import NUM_RESERVED_TOKENS
-        from bert4clickpath_tpu.ops.pallas.fused_ce import (
-            fused_masked_softmax_cross_entropy,
-        )
-
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
 
         def compute_loss(params):
             if use_fused:
-                gathered = model.apply(
-                    params,
-                    batch["features"],
-                    batch.get("head_positions"),
-                    deterministic=False,
-                    rngs={"dropout": rng},
-                    method="gather_head_inputs",
+                total, count = fused_head_ce_sums(
+                    model, params, batch, rng, fused_ce_num_valid
                 )
-                table = params["params"][f"embed_{model.config.item_feature}"][
-                    "embedding"
-                ]
-                return fused_masked_softmax_cross_entropy(
-                    gathered,
-                    table,
-                    batch["labels"],
-                    NUM_RESERVED_TOKENS,
-                    fused_ce_num_valid,
-                )
+                return total / jnp.maximum(count, 1.0)
             logits = model.apply(
                 params,
                 batch["features"],
@@ -239,37 +272,58 @@ def make_eval_step(
     head_kind = model.config.head.kind
     loss_fn = loss_fn or loss_for_head(head_kind)
 
-    if chunked_num_valid is not None and head_kind == "tied_softmax":
+    if chunked_num_valid is not None and head_kind in ("tied_softmax", "softmax"):
         from bert4clickpath_tpu.constants import NUM_RESERVED_TOKENS
-        from bert4clickpath_tpu.ops.chunked_eval import chunked_eval_stats
+        from bert4clickpath_tpu.ops.chunked_eval import (
+            chunked_eval_stats,
+            pick_chunk,
+        )
 
         def chunked_step(params, batch):
-            gathered = model.apply(
-                params,
-                batch["features"],
-                batch.get("head_positions"),
-                deterministic=True,
-                method="gather_head_inputs",
-            )
-            table = params["params"][f"embed_{model.config.item_feature}"][
-                "embedding"
-            ]
-            from bert4clickpath_tpu.ops.chunked_eval import pick_chunk
-
-            bias = None
-            if model.config.head.tied_bias:
-                # (V_label,) bias spread onto model-space rows; pad rows 0
-                b = params["params"]["tied_out_bias"]
-                bias = jnp.zeros((table.shape[0],), b.dtype)
-                bias = jax.lax.dynamic_update_slice(
-                    bias, b, (NUM_RESERVED_TOKENS,)
+            if head_kind == "tied_softmax":
+                gathered = model.apply(
+                    params,
+                    batch["features"],
+                    batch.get("head_positions"),
+                    deterministic=True,
+                    method="gather_head_inputs",
                 )
+                table = params["params"][f"embed_{model.config.item_feature}"][
+                    "embedding"
+                ]
+                row_offset = NUM_RESERVED_TOKENS
+                bias = None
+                if model.config.head.tied_bias:
+                    # (V_label,) bias spread onto model-space rows; pad rows 0
+                    b = params["params"]["tied_out_bias"]
+                    bias = jnp.zeros((table.shape[0],), b.dtype)
+                    bias = jax.lax.dynamic_update_slice(
+                        bias, b, (NUM_RESERVED_TOKENS,)
+                    )
+            else:
+                # 'softmax' MLP head: scan its final Dense(V) in chunks —
+                # the dense eval path's (B, P, V) f32 logits (1.8 GB at
+                # Beauty scale with eval_batch=512) never materialize
+                gathered = model.apply(
+                    params,
+                    batch["features"],
+                    batch.get("head_positions"),
+                    deterministic=True,
+                    method="head_trunk_outputs",
+                )
+                wk = params["params"]["head"]["out"]["kernel"]
+                bk = params["params"]["head"]["out"]["bias"]
+                v = wk.shape[1]
+                pad = -v % (1024 if v > 4096 else 128)
+                table = jnp.pad(wk.T, ((0, pad), (0, 0)))
+                bias = jnp.pad(bk, (0, pad))
+                row_offset = 0
             return chunked_eval_stats(
                 gathered,
                 table,
                 batch["labels"],
                 ks=ks,
-                row_offset=NUM_RESERVED_TOKENS,
+                row_offset=row_offset,
                 num_valid=chunked_num_valid,
                 chunk=pick_chunk(table.shape[0]),
                 bias=bias,

@@ -180,7 +180,13 @@ def main(argv=None):
     p.add_argument(
         "--tied_bias", action="store_true",
         help="tpu preset: free per-item output bias on the tied head "
-        "(BERT MLM-decoder style; dense-logits training path)",
+        "(BERT MLM-decoder style)",
+    )
+    p.add_argument(
+        "--fused_head", action="store_true",
+        help="parity/MLP softmax head: train+eval through the fused Pallas "
+        "CE / chunked catalog scan (no dense (B,P,V) logits); numerically "
+        "equivalent, several times faster at full-catalog scale",
     )
     p.add_argument("--init_ckpt", default=None, help="warm-start params path")
     p.add_argument(
@@ -278,11 +284,12 @@ def main(argv=None):
         model,
         tx,
         schedule,
-        # tied head trains through the fused Pallas CE (no dense logits);
-        # tied_bias has no kernel input yet, so it takes the dense path
+        # tied heads train through the fused Pallas CE (no dense logits);
+        # --fused_head opts the parity MLP head into the same kernel
         fused_ce_num_valid=(
             vocab.label_vocab_size
-            if cfg.head.kind == "tied_softmax" and not cfg.head.tied_bias
+            if cfg.head.kind == "tied_softmax"
+            or (cfg.head.kind == "softmax" and args.fused_head)
             else None
         ),
         ema_decay=args.ema_decay,
@@ -290,9 +297,13 @@ def main(argv=None):
     eval_step = make_eval_step(
         model,
         ks=(5, 10),
-        # tied heads evaluate via the chunked blinded catalog scan
+        # tied heads (and --fused_head MLP heads) evaluate via the chunked
+        # blinded catalog scan
         chunked_num_valid=(
-            vocab.label_vocab_size if cfg.head.kind == "tied_softmax" else None
+            vocab.label_vocab_size
+            if cfg.head.kind == "tied_softmax"
+            or (cfg.head.kind == "softmax" and args.fused_head)
+            else None
         ),
     )
 

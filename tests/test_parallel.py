@@ -550,3 +550,149 @@ def test_spmd_factorized_input_matches_single_device():
     np.testing.assert_allclose(
         float(stats["ndcg@10_sum"]), float(dense["ndcg@10_sum"]), rtol=1e-5
     )
+
+
+def test_dp_fused_parity_head_step_matches_single_device():
+    """DP + fused Pallas CE for the MLP softmax head == the single-device
+    dense-logits global-mean Adam step (local fused sums, psum outside
+    autodiff)."""
+    import optax
+
+    mesh, ds, vocab, cfg = _parity_head_setup()
+    tcfg = TrainConfig()
+    model = ClickstreamModel(cfg)
+    b = _device_batch(next(ds.train_batches(8, seed=0)))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+    )
+    tx = make_optimizer(tcfg)
+    lr = 1e-2
+
+    def manual_loss(v):
+        logits = model.apply(v, b["features"], b["head_positions"])
+        return masked_softmax_cross_entropy(logits, b["labels"])
+
+    want_loss = float(manual_loss(variables))
+    grads = jax.grad(manual_loss)(variables)
+    updates, _ = tx.update(grads, tx.init(variables), variables)
+    want = optax.apply_updates(variables, jax.tree.map(lambda u: u * lr, updates))
+
+    state = spmd.replicate_state(TrainState.create(variables, tx), mesh)
+    step = spmd.make_dp_train_step(
+        model, mesh, tx, schedules.constant(lr),
+        fused_ce_num_valid=vocab.label_vocab_size,
+    )
+    new_state, loss = step(
+        state, spmd.shard_batch(b, mesh, cfg), jax.random.PRNGKey(1)
+    )
+    np.testing.assert_allclose(float(loss), want_loss, rtol=2e-5)
+
+    def compare(g, a, bb):
+        if float(np.abs(np.asarray(g)).max()) < 1e-6:
+            return  # zero-grad leaves: Adam amplifies float noise to ±lr
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=5e-4, atol=1e-6
+        )
+
+    jax.tree.map(
+        compare,
+        jax.device_get(grads),
+        jax.device_get(new_state.params),
+        jax.device_get(want),
+    )
+
+
+def _spmd_bias_setup(n_items=22, d=16, mesh_shape=(2, 4)):
+    mesh = _mesh(*mesh_shape)
+    gen = ClickStreamGenerator(n_items=n_items, session_cohesiveness=200, seed=0)
+    items, _ = gen.generate_sessions(64)
+    vocab = gen.item_vocab()
+    ds = ClozeDataset(items, vocab, max_items=20)
+    rows = spmd.padded_vocab_rows(vocab.model_vocab_size, mesh_shape[1])
+    cfg = ModelConfig(
+        features={"items": FeatureConfig(rows, d)},
+        num_layers=1,
+        num_heads=2,
+        ffn_dim=32,
+        max_len=23,
+        dropout_rate=0.0,
+        head=HeadConfig(
+            "tied_softmax", output_size=vocab.label_vocab_size, tied_bias=True
+        ),
+    )
+    return mesh, ds, vocab, cfg
+
+
+def test_spmd_tied_bias_step_matches_manual_single_device():
+    """tied_bias under vocab sharding: one SPMD step (bias-carrying sharded
+    fused CE, replicated-bias psum'd VJP) == the manual single-device
+    dense-logits Adam step, including the bias update."""
+    import optax
+
+    mesh, ds, vocab, cfg = _spmd_bias_setup()
+    tcfg = TrainConfig()
+    model = ClickstreamModel(cfg)
+    b = _device_batch(next(ds.train_batches(8, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+    )["params"]
+    # give the bias non-zero values so the forward exercises it too
+    params = dict(params)
+    params["tied_out_bias"] = (
+        0.1 * jax.random.normal(jax.random.PRNGKey(7), (vocab.label_vocab_size,))
+    )
+    tx = make_optimizer(tcfg)
+    lr = 1e-2
+
+    def manual_loss(p):
+        logits = model.apply({"params": p}, b["features"], b["head_positions"])
+        return masked_softmax_cross_entropy(logits, b["labels"])
+
+    want_loss = float(manual_loss(params))
+    grads = jax.grad(manual_loss)(params)
+    assert float(np.abs(np.asarray(grads["tied_out_bias"])).max()) > 1e-6
+    updates, _ = tx.update(grads, tx.init(params), params)
+    want = optax.apply_updates(params, jax.tree.map(lambda u: u * lr, updates))
+
+    state = spmd.shard_state(TrainState.create(params, tx), mesh, cfg)
+    step = spmd.make_spmd_train_step(
+        cfg, mesh, tx, schedules.constant(lr), vocab.label_vocab_size
+    )
+    new_state, loss = step(state, spmd.shard_batch(b, mesh, cfg), jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(loss), want_loss, rtol=2e-4)
+    got = jax.device_get(new_state.params)
+
+    def compare(g, a, bb):
+        if float(np.abs(np.asarray(g)).max()) < 1e-6:
+            return  # zero-grad leaves: Adam amplifies float noise to ±lr
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=5e-4, atol=1e-6
+        )
+
+    jax.tree.map(compare, jax.device_get(grads), got, jax.device_get(want))
+
+
+def test_spmd_tied_bias_eval_matches_dense():
+    mesh, ds, vocab, cfg = _spmd_bias_setup()
+    model = ClickstreamModel(cfg)
+    b = _device_batch(next(ds.train_batches(8, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+    )["params"]
+    params = dict(params)
+    params["tied_out_bias"] = (
+        0.5 * jax.random.normal(jax.random.PRNGKey(9), (vocab.label_vocab_size,))
+    )
+    ev = spmd.make_spmd_eval_step(cfg, mesh, vocab.label_vocab_size)
+    stats = {
+        k: float(np.asarray(v))
+        for k, v in ev(params, spmd.shard_batch(b, mesh, cfg)).items()
+    }
+    logits = model.apply({"params": params}, b["features"], b["head_positions"])
+    from bert4clickpath_tpu.ops.metrics import ranking_stats
+
+    dense = ranking_stats(logits, b["labels"], ks=(5, 10))
+    for k in ("recall@10_sum", "ndcg@10_sum", "recall@5_sum", "ndcg@5_sum"):
+        np.testing.assert_allclose(
+            stats[k], float(np.asarray(dense[k])), rtol=1e-5, err_msg=k
+        )
