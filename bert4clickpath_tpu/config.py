@@ -177,9 +177,11 @@ class TrainConfig:
     plateau_factor: float = 0.317
     # What drives best-ckpt / plateau / early-stop. The reference monitored
     # val_loss (main.py:134,141,156), but full-softmax CE diverges while
-    # ranking metrics still improve — for metric runs monitor the metric.
-    monitor: str = "val_loss"
-    monitor_mode: str = "min"  # "min" | "max"
+    # ranking metrics still improve (BASELINE.md: val_loss monitoring
+    # early-stops Beauty at ~0.02 recall@10 vs 0.036 NDCG-monitored).
+    # "auto" = val_ndcg@10 when the head emits it, else val_loss.
+    monitor: str = "auto"
+    monitor_mode: str = "auto"  # resolved with "auto"; else "min" | "max"
     seed: int = 0
     log_every: int = 50  # steps
     remat: bool = False  # jax.checkpoint the encoder layers

@@ -132,7 +132,11 @@ class Trainer:
 
         cfg = self.cfg
         n_epochs = n_epochs if n_epochs is not None else cfg.n_epochs
-        sign = 1.0 if cfg.monitor_mode == "min" else -1.0
+        monitor = cfg.monitor
+        if cfg.monitor_mode == "auto":
+            sign = None  # resolved with the monitor at the first eval
+        else:
+            sign = 1.0 if cfg.monitor_mode == "min" else -1.0
         best_val = math.inf
         epochs_since_best = 0
         epochs_since_plateau_cut = 0
@@ -181,12 +185,20 @@ class Trainer:
                     record[f"val_{k}"] = float(v)
             self._log(record)
 
-            if cfg.monitor not in record:
+            if monitor == "auto":
+                # the repo's own finding (BASELINE.md): full-softmax val_loss
+                # diverges while ranking still improves, so monitoring it
+                # early-stops ranking runs at ~half their reachable recall —
+                # prefer the ranking metric whenever the head emits one
+                monitor = "val_ndcg@10" if "val_ndcg@10" in record else "val_loss"
+            if sign is None:  # monitor_mode == "auto": losses fall, metrics rise
+                sign = 1.0 if "loss" in monitor else -1.0
+            if monitor not in record:
                 raise KeyError(
-                    f"monitor {cfg.monitor!r} not in epoch record "
+                    f"monitor {monitor!r} not in epoch record "
                     f"(available: {sorted(record)})"
                 )
-            monitored = sign * record[cfg.monitor]
+            monitored = sign * record[monitor]
             if monitored < best_val:
                 best_val = monitored
                 epochs_since_best = 0

@@ -342,3 +342,61 @@ def test_warmup_constant_schedule():
     assert float(s(jnp.asarray(50))) == pytest.approx(5e-4)
     assert float(s(jnp.asarray(100))) == pytest.approx(1e-3)
     assert float(s(jnp.asarray(100_000))) == pytest.approx(1e-3)
+
+
+def test_auto_monitor_resolution():
+    """TrainConfig's default monitor='auto' picks val_ndcg@10 for ranking
+    heads and falls back to val_loss for heads without ranking metrics
+    (binary), instead of the reference's always-val_loss trap."""
+    # ranking head: best checkpoint follows NDCG (max), not val_loss
+    ds, vocab, cfg, model = _setup()
+    tcfg = TrainConfig(batch_size=16, steps_per_epoch=2, n_epochs=2)
+    assert tcfg.monitor == "auto"
+    b0 = _to_device(next(ds.train_batches(16, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"]
+    )
+    tx = make_optimizer(tcfg)
+    trainer = Trainer(
+        make_train_step(model, tx, schedules.constant(1e-3), donate=False),
+        make_eval_step(model),
+        tcfg,
+        to_device=_to_device,
+    )
+    trainer.fit(
+        TrainState.create(params, tx),
+        ds.train_batches(16, seed=1),
+        lambda: ds.eval_batches(16, limit_batches=1),
+        jax.random.PRNGKey(2),
+    )
+    assert "val_ndcg@10" in trainer.history[0]
+
+    # binary head: no ranking metrics in the record -> auto falls back to
+    # val_loss without KeyError
+    ds, vocab, cfg, model = _setup(head_kind="binary")
+    b0 = _to_device(next(ds.train_batches(16, seed=0)))
+    b0["labels"] = jnp.where(
+        b0["labels"] >= 0, (b0["labels"] % 2).astype(jnp.float32), -1.0
+    )
+
+    def bin_batches():
+        while True:
+            yield b0
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"]
+    )
+    trainer = Trainer(
+        make_train_step(model, tx, schedules.constant(1e-3), donate=False),
+        make_eval_step(model),
+        tcfg,
+        to_device=lambda b: b,
+    )
+    trainer.fit(
+        TrainState.create(params, tx),
+        bin_batches(),
+        lambda: iter([b0]),
+        jax.random.PRNGKey(2),
+    )
+    assert "val_ndcg@10" not in trainer.history[0]
+    assert "val_loss" in trainer.history[0]
