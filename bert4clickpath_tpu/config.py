@@ -143,10 +143,10 @@ class ModelConfig:
     def from_json(cls, payload: str) -> "ModelConfig":
         d = json.loads(payload)
         d["features"] = {k: FeatureConfig(**v) for k, v in d["features"].items()}
+        # pass every field through so new HeadConfig fields (tied_bias, ...)
+        # survive the round-trip instead of silently reverting to defaults
         d["head"] = HeadConfig(
-            kind=d["head"]["kind"],
-            dense_dims=tuple(d["head"]["dense_dims"]),
-            output_size=d["head"]["output_size"],
+            **{**d["head"], "dense_dims": tuple(d["head"]["dense_dims"])}
         )
         if d.get("segment_bounds") is not None:
             d["segment_bounds"] = tuple(d["segment_bounds"])

@@ -54,9 +54,73 @@ class ServingModel:
             os.path.join(export_dir, "params"), abstract
         )
         self._item_feature = feature
-        self._apply = jax.jit(
-            lambda p, feats, pos: self.model.apply(p, feats, pos, deterministic=True)
+        if self.config.head.kind not in ("tied_softmax", "softmax"):
+            raise ValueError(
+                "ServingModel.recommend ranks the item catalog; head kind "
+                f"{self.config.head.kind!r} has no catalog to rank"
+            )
+        self._topk = jax.jit(self._make_topk(), static_argnums=(3,))
+
+    def _make_topk(self):
+        """(params, feats, (B,1) positions, k) -> (logprobs (B,k), label ids).
+
+        Scores via the chunked catalog scan (ops/chunked_eval.chunked_scores)
+        on the single [MASK] position: no (B, P, V) logits, so serving works
+        unchanged at 10M-item catalogs, and the softmax normalizer comes
+        from the scan's online logsumexp.
+        """
+        from bert4clickpath_tpu.constants import (
+            LABEL_PAD,
+            NUM_RESERVED_TOKENS,
         )
+        from bert4clickpath_tpu.ops.chunked_eval import chunked_scores, pick_chunk
+
+        cfg = self.config
+        model = self.model
+
+        def fn(params, feats, pos, k):
+            if cfg.head.kind == "tied_softmax":
+                x = model.apply(
+                    params, feats, pos, deterministic=True,
+                    method="gather_head_inputs",
+                )
+                table = params["params"][f"embed_{cfg.item_feature}"]["embedding"]
+                row_offset = NUM_RESERVED_TOKENS
+                v_label = cfg.head.output_size or (
+                    table.shape[0] - NUM_RESERVED_TOKENS - 1
+                )
+                bias = None
+                if cfg.head.tied_bias:
+                    b = params["params"]["tied_out_bias"]
+                    bias = jax.lax.dynamic_update_slice(
+                        jnp.zeros((table.shape[0],), b.dtype), b,
+                        (NUM_RESERVED_TOKENS,),
+                    )
+            else:  # 'softmax' MLP head: final Dense(V) rows as the catalog
+                x = model.apply(
+                    params, feats, pos, deterministic=True,
+                    method="head_trunk_outputs",
+                )
+                wk = params["params"]["head"]["out"]["kernel"]
+                bk = params["params"]["head"]["out"]["bias"]
+                v_label = wk.shape[1]
+                table, bias, row_offset = wk.T, bk, 0
+            # chunked_scores needs rows % chunk == 0: pad awkward row counts
+            rows = table.shape[0]
+            pad = -rows % (1024 if rows > 4096 else 128)
+            if pad:
+                table = jnp.pad(table, ((0, pad), (0, 0)))
+                bias = None if bias is None else jnp.pad(bias, (0, pad))
+            no_labels = jnp.full(x.shape[:2], LABEL_PAD, jnp.int32)
+            logz, _, vals, rowids = chunked_scores(
+                x, table, no_labels, k,
+                row_offset=row_offset, num_valid=v_label,
+                chunk=pick_chunk(table.shape[0]), bias=bias,
+            )
+            logprobs = vals[:, 0] - logz[:, 0, None]  # (B, k)
+            return logprobs, rowids[:, 0] - row_offset  # label-space ids
+
+        return fn
 
     def recommend(
         self,
@@ -85,18 +149,19 @@ class ServingModel:
         tokens[:, 0] = CLS_ID
         tokens[:, 1] = SEP_ID
         tokens[:, -1] = SEP_ID
-        positions = np.zeros((b, cfg.head_width), np.int32)
+        positions = np.zeros((b, 1), np.int32)  # only the [MASK] slot scores
         for i, session in enumerate(sessions):
             ids = vocab.encode_model(list(session))[-(max_items - 1):]
             n = len(ids)
             tokens[i, ITEM_OFFSET : ITEM_OFFSET + n] = ids
             tokens[i, ITEM_OFFSET + n] = MASK_ID
             positions[i, 0] = ITEM_OFFSET + n
-        logits = self._apply(
-            self.params, {self._item_feature: jnp.asarray(tokens)}, jnp.asarray(positions)
+        scores, idx = self._topk(
+            self.params,
+            {self._item_feature: jnp.asarray(tokens)},
+            jnp.asarray(positions),
+            k,
         )
-        logprobs = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1)
-        scores, idx = jax.lax.top_k(logprobs, k)
         scores, idx = np.asarray(scores), np.asarray(idx)
         results = [
             [(vocab.decode_label(int(idx[i, j])), float(scores[i, j])) for j in range(k)]

@@ -174,6 +174,19 @@ def test_config_json_roundtrip():
     assert cfg2 == cfg
 
 
+def test_config_json_roundtrip_keeps_all_head_fields():
+    # regression: from_json rebuilt HeadConfig field-by-field and silently
+    # dropped tied_bias, so a tied_bias export could not be served
+    cfg = ModelConfig(
+        features={"items": FeatureConfig(50, 8)},
+        head=HeadConfig("tied_softmax", output_size=39, tied_bias=True),
+        max_len=10,
+    )
+    cfg2 = ModelConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+    assert cfg2.head.tied_bias is True
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         ModelConfig(routing="segment")  # missing bounds

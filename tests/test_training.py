@@ -400,3 +400,52 @@ def test_auto_monitor_resolution():
     )
     assert "val_ndcg@10" not in trainer.history[0]
     assert "val_loss" in trainer.history[0]
+
+
+def test_serving_chunked_scores_match_dense(tmp_path):
+    """Serving's chunked top-k (no (B, P, V) logits) must reproduce the
+    dense log-softmax top-k exactly — tied and MLP (parity) heads."""
+    for head_kind in ("tied_softmax", "softmax"):
+        ds, vocab, cfg, model = _setup(head_kind)
+        b0 = _to_device(next(ds.train_batches(8, seed=0)))
+        params = model.init(
+            {"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"]
+        )
+        export_dir = ckpt_lib.export_serving(
+            str(tmp_path / f"export_{head_kind}"),
+            jax.device_get(params), cfg, {"items": vocab},
+        )
+        served = ServingModel(export_dir)
+        sessions = [["item_0", "item_1", "item_2"], ["item_5"]]
+        recs = served.recommend(sessions, k=5)
+
+        # dense reference: same token build, full logits, log_softmax top-k
+        from bert4clickpath_tpu.data.cloze import ITEM_OFFSET, token_length
+        from bert4clickpath_tpu.constants import CLS_ID, MASK_ID, PAD_ID, SEP_ID
+
+        max_items = cfg.max_len - 3
+        tokens = np.full((2, token_length(max_items)), PAD_ID, np.int32)
+        tokens[:, 0], tokens[:, 1], tokens[:, -1] = CLS_ID, SEP_ID, SEP_ID
+        pos = np.zeros((2, 1), np.int32)
+        for i, session in enumerate(sessions):
+            ids = vocab.encode_model(list(session))
+            tokens[i, ITEM_OFFSET : ITEM_OFFSET + len(ids)] = ids
+            tokens[i, ITEM_OFFSET + len(ids)] = MASK_ID
+            pos[i, 0] = ITEM_OFFSET + len(ids)
+        logits = model.apply(
+            params, {"items": jnp.asarray(tokens)}, jnp.asarray(pos)
+        )[:, 0]
+        logits = logits[:, : vocab.label_vocab_size]
+        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        want_scores, want_idx = jax.lax.top_k(logprobs, 5)
+        for i in range(2):
+            got_items = [n for n, _ in recs[i]]
+            got_scores = [s for _, s in recs[i]]
+            want_items = [
+                vocab.decode_label(int(j)) for j in np.asarray(want_idx[i])
+            ]
+            assert got_items == want_items, head_kind
+            np.testing.assert_allclose(
+                got_scores, np.asarray(want_scores[i]), rtol=1e-5, atol=1e-6,
+                err_msg=head_kind,
+            )
