@@ -449,3 +449,26 @@ def test_serving_chunked_scores_match_dense(tmp_path):
                 got_scores, np.asarray(want_scores[i]), rtol=1e-5, atol=1e-6,
                 err_msg=head_kind,
             )
+
+
+def test_serving_pad_rows_never_ranked(tmp_path):
+    """Serving pads the catalog to the chunk multiple with zero rows; an
+    untrained model's real logits sit near 0 too, so any blinding slip
+    would leak pad rows into a full-vocab top-k. Ask for every valid item
+    and check the result is exactly the catalog, once each, normalized."""
+    ds, vocab, cfg, model = _setup("tied_softmax", n_items=37)
+    b0 = _to_device(next(ds.train_batches(8, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"]
+    )
+    export_dir = ckpt_lib.export_serving(
+        str(tmp_path / "export"), jax.device_get(params), cfg, {"items": vocab}
+    )
+    served = ServingModel(export_dir)
+    k = vocab.label_vocab_size
+    recs = served.recommend([["item_3", "item_7"]], k=k)[0]
+    names = [n for n, _ in recs]
+    assert len(set(names)) == k  # every valid item exactly once, no pads
+    assert all(n.startswith("item_") for n in names), names[:5]
+    total = float(np.exp([s for _, s in recs]).sum())
+    np.testing.assert_allclose(total, 1.0, rtol=1e-4)  # softmax over catalog only
