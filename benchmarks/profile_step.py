@@ -40,7 +40,6 @@ from bert4clickpath_tpu.training.train_state import (
     make_train_step,
 )
 from bert4clickpath_tpu.utils import profiling
-from bert4clickpath_tpu.utils.xplane import kernel_report
 
 N_ITEMS = 54_542  # Amazon Beauty catalog (BASELINE.md)
 
@@ -108,7 +107,7 @@ def main(argv=None):
     )
     rng = jax.random.PRNGKey(1)
 
-    for i in range(args.warmup):
+    for i in range(max(1, args.warmup)):  # >=1: compile outside the trace
         state, loss = step(state, batches[i % len(batches)], rng)
     float(np.asarray(loss))  # drain the dispatch queue (tunnel backend)
 
@@ -119,12 +118,17 @@ def main(argv=None):
         float(np.asarray(loss))
     wall = (time.perf_counter() - t0) / args.steps
 
-    rows = kernel_report(args.logdir, args.steps, top=args.top)
-    # total over the WHOLE device plane, not just the top-N rows shown
+    # one parse of the (tens-of-MB) trace: full-plane totals for the sum,
+    # top-N of the same dict for the table
     from bert4clickpath_tpu.utils.xplane import latest_xplane_pb, plane_kernel_totals
 
     with open(latest_xplane_pb(args.logdir), "rb") as f:
-        device_total = sum(plane_kernel_totals(f.read()).values()) / 1e9 / args.steps
+        totals = plane_kernel_totals(f.read())
+    device_total = sum(totals.values()) / 1e9 / args.steps
+    rows = [
+        (name, ps / 1e9 / args.steps)
+        for name, ps in sorted(totals.items(), key=lambda kv: -kv[1])[: args.top]
+    ]
     print(
         f"\nconfig: attn={args.attn_impl} dropout_impl={args.dropout_impl} "
         f"embed={args.embed_impl} mu={args.mu_dtype} B={args.batch}"

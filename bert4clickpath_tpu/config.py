@@ -52,8 +52,9 @@ class HeadConfig:
     output_size: int = 0  # V for softmax/multilabel; ignored for binary/tied
     # tied_softmax only: add a free per-item output bias (BERT's MLM decoder
     # ties weights but keeps its own bias). Lets popularity live in the bias
-    # instead of distorting embedding norms. Dense-logits path only — the
-    # fused-CE kernel path asserts it off.
+    # instead of distorting embedding norms. Supported on every path: dense
+    # logits, fused CE (its kernels take a per-row bias input), the sharded
+    # fused CE, chunked eval, and serving.
     tied_bias: bool = False
 
     def __post_init__(self):
@@ -183,6 +184,18 @@ class TrainConfig:
     monitor: str = "auto"
     monitor_mode: str = "auto"  # resolved with "auto"; else "min" | "max"
     seed: int = 0
+
+    def __post_init__(self):
+        if self.monitor == "auto" and self.monitor_mode != "auto":
+            # with monitor unresolved, a pinned mode can invert best-model
+            # selection (e.g. mode='min' while auto picks val_ndcg@10 —
+            # the trainer would track the WORST epoch); reject the combo
+            raise ValueError(
+                "monitor='auto' requires monitor_mode='auto' — pin the "
+                "monitor metric when pinning its mode"
+            )
+        if self.monitor_mode not in ("auto", "min", "max"):
+            raise ValueError(f"monitor_mode {self.monitor_mode!r}")
     log_every: int = 50  # steps
     remat: bool = False  # jax.checkpoint the encoder layers
     # EMA of params for eval/export (0 disables). Polyak averaging is a

@@ -117,7 +117,10 @@ class MultiHeadAttention(nn.Module):
                 fused_mha_supported,
             )
 
-            if fused_mha_supported(l, self.d_model, self.num_heads):
+            if fused_mha_supported(
+                l, self.d_model, self.num_heads,
+                itemsize=jnp.dtype(self.dtype).itemsize,
+            ):
                 # short-L path: heads never leave the (B, L, D) layout
                 return dense("wo")(fused_mha(qf, kf, vf, bias, self.num_heads))
             # long-L blockwise path wants the head-major view

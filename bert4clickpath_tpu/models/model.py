@@ -327,3 +327,58 @@ class ClickstreamModel(nn.Module):
         if cfg.head.tied_bias:
             logits = logits + self.tied_out_bias
         return logits
+
+
+def tied_bias_model_space(bias: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """(rows,) model-space bias: the (V_label,) ``tied_out_bias`` placed at
+    the reserved-token offset; reserved/OOV/padding rows stay 0 (those rows
+    are blinded by every consumer anyway)."""
+    import jax
+
+    return jax.lax.dynamic_update_slice(
+        jnp.zeros((rows,), bias.dtype), bias, (NUM_RESERVED_TOKENS,)
+    )
+
+
+def head_catalog(config: ModelConfig, params, pad_rows: bool = False):
+    """The catalog a softmax-family head ranks: (table, bias, row_offset,
+    base_rows).
+
+    tied_softmax: the (rows, D_item) item embedding table with
+    ``tied_out_bias`` (if any) spread via :func:`tied_bias_model_space`;
+    row_offset = NUM_RESERVED_TOKENS. softmax (the reference's MLP head):
+    the final Dense(V) kernel transposed to (V, d_trunk) rows + its bias,
+    row_offset 0 — always padded to the fused-CE/chunked-eval tile
+    (``ops.pallas.fused_ce.padded_rows``). ``pad_rows=True`` pads a tied
+    table too (serving can't assume the training driver pre-padded
+    vocab_rows). ``base_rows`` is the pre-padding row count, for deriving
+    num_valid.
+
+    Shared by the fused-CE train loss, the chunked eval step, and serving —
+    one place owns the params-tree paths and the padding arithmetic.
+    """
+    from bert4clickpath_tpu.ops.pallas.fused_ce import padded_rows
+
+    p = params["params"] if "params" in params else params
+    kind = config.head.kind
+    if kind == "tied_softmax":
+        table = p[f"embed_{config.item_feature}"]["embedding"]
+        base_rows = table.shape[0]
+        bias = (
+            tied_bias_model_space(p["tied_out_bias"], base_rows)
+            if config.head.tied_bias
+            else None
+        )
+        if pad_rows:
+            pad = padded_rows(base_rows) - base_rows
+            if pad:
+                table = jnp.pad(table, ((0, pad), (0, 0)))
+                bias = None if bias is None else jnp.pad(bias, (0, pad))
+        return table, bias, NUM_RESERVED_TOKENS, base_rows
+    if kind == "softmax":
+        wk = p["head"]["out"]["kernel"]  # (d_trunk, V)
+        bk = p["head"]["out"]["bias"]  # (V,)
+        v = wk.shape[1]
+        pad = padded_rows(v) - v
+        return jnp.pad(wk.T, ((0, pad), (0, 0))), jnp.pad(bk, (0, pad)), 0, v
+    raise ValueError(f"softmax-family head required, got {kind!r}")

@@ -54,6 +54,15 @@ def _row_tile(n: int) -> int:
     return n
 
 
+def padded_rows(v: int) -> int:
+    """Smallest row count >= v that ``_vocab_tile`` (and chunked_eval's
+    ``pick_chunk``) accepts: a multiple of 1024, or of 128 below the 4096
+    whole-table cutoff. The single source of truth for catalog-row padding —
+    train/eval/serving all pad through here so a tile-tier change cannot
+    strand a call site on a stale formula."""
+    return v + (-v % (1024 if v > 4096 else 128))
+
+
 def _vocab_tile(v: int) -> int:
     # 1024 keeps the (Tn, Tv) f32 score tile + double-buffered w tiles under
     # the 16MB VMEM budget with Tn=512.

@@ -218,13 +218,15 @@ def _forward_gathered(
 
 
 def _tied_bias_model_space(config: ModelConfig, params) -> jnp.ndarray:
-    """(rows,) model-space bias: the replicated (V_label,) ``tied_out_bias``
-    placed at the reserved-token offset; reserved/OOV/padding rows stay 0
-    (they are blinded anyway)."""
-    b = params["tied_out_bias"]
-    rows = config.features[config.item_feature].vocab_rows
-    return jax.lax.dynamic_update_slice(
-        jnp.zeros((rows,), b.dtype), b, (NUM_RESERVED_TOKENS,)
+    """The replicated (V_label,) ``tied_out_bias`` on model-space rows.
+
+    (The table itself is row-sharded here; the bias stays replicated and
+    each vocab shard slices its rows, so the full-rows spread is correct.)
+    """
+    from bert4clickpath_tpu.models.model import tied_bias_model_space
+
+    return tied_bias_model_space(
+        params["tied_out_bias"], config.features[config.item_feature].vocab_rows
     )
 
 

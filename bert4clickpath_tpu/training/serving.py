@@ -73,44 +73,32 @@ class ServingModel:
             LABEL_PAD,
             NUM_RESERVED_TOKENS,
         )
+        from bert4clickpath_tpu.models.model import head_catalog
         from bert4clickpath_tpu.ops.chunked_eval import chunked_scores, pick_chunk
 
         cfg = self.config
         model = self.model
 
         def fn(params, feats, pos, k):
+            x = model.apply(
+                params, feats, pos, deterministic=True,
+                method=(
+                    "gather_head_inputs"
+                    if cfg.head.kind == "tied_softmax"
+                    else "head_trunk_outputs"
+                ),
+            )
+            # pad_rows: chunked_scores needs rows % chunk == 0 and serving
+            # can't assume the training driver pre-padded the tied table
+            table, bias, row_offset, base_rows = head_catalog(
+                cfg, params, pad_rows=True
+            )
             if cfg.head.kind == "tied_softmax":
-                x = model.apply(
-                    params, feats, pos, deterministic=True,
-                    method="gather_head_inputs",
-                )
-                table = params["params"][f"embed_{cfg.item_feature}"]["embedding"]
-                row_offset = NUM_RESERVED_TOKENS
                 v_label = cfg.head.output_size or (
-                    table.shape[0] - NUM_RESERVED_TOKENS - 1
+                    base_rows - NUM_RESERVED_TOKENS - 1
                 )
-                bias = None
-                if cfg.head.tied_bias:
-                    b = params["params"]["tied_out_bias"]
-                    bias = jax.lax.dynamic_update_slice(
-                        jnp.zeros((table.shape[0],), b.dtype), b,
-                        (NUM_RESERVED_TOKENS,),
-                    )
             else:  # 'softmax' MLP head: final Dense(V) rows as the catalog
-                x = model.apply(
-                    params, feats, pos, deterministic=True,
-                    method="head_trunk_outputs",
-                )
-                wk = params["params"]["head"]["out"]["kernel"]
-                bk = params["params"]["head"]["out"]["bias"]
-                v_label = wk.shape[1]
-                table, bias, row_offset = wk.T, bk, 0
-            # chunked_scores needs rows % chunk == 0: pad awkward row counts
-            rows = table.shape[0]
-            pad = -rows % (1024 if rows > 4096 else 128)
-            if pad:
-                table = jnp.pad(table, ((0, pad), (0, 0)))
-                bias = None if bias is None else jnp.pad(bias, (0, pad))
+                v_label = base_rows
             no_labels = jnp.full(x.shape[:2], LABEL_PAD, jnp.int32)
             logz, _, vals, rowids = chunked_scores(
                 x, table, no_labels, k,

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from bert4clickpath_tpu.models.model import head_catalog
 from bert4clickpath_tpu.ops import metrics as metrics_lib
 from bert4clickpath_tpu.ops.losses import (
     masked_binary_cross_entropy,
@@ -117,46 +118,24 @@ def fused_head_ce_sums(model, params, batch, rng, num_valid: int):
     tile and blinded. The sums form is the data-parallel building block —
     reduce OUTSIDE autodiff (parallel/spmd.make_dp_train_step pattern).
     """
-    from bert4clickpath_tpu.constants import NUM_RESERVED_TOKENS
     from bert4clickpath_tpu.ops.pallas.fused_ce import fused_masked_ce_sums
 
     head_kind = model.config.head.kind
-    if head_kind == "tied_softmax":
-        gathered = model.apply(
-            params,
-            batch["features"],
-            batch.get("head_positions"),
-            deterministic=rng is None,
-            rngs=None if rng is None else {"dropout": rng},
-            method="gather_head_inputs",
-        )
-        table = params["params"][f"embed_{model.config.item_feature}"]["embedding"]
-        row_offset = NUM_RESERVED_TOKENS
-        bias = None
-        if model.config.head.tied_bias:
-            # (V_label,) free bias spread onto model-space rows
-            b = params["params"]["tied_out_bias"]
-            bias = jax.lax.dynamic_update_slice(
-                jnp.zeros((table.shape[0],), b.dtype), b, (NUM_RESERVED_TOKENS,)
-            )
-    elif head_kind == "softmax":
-        gathered = model.apply(
-            params,
-            batch["features"],
-            batch.get("head_positions"),
-            deterministic=rng is None,
-            rngs=None if rng is None else {"dropout": rng},
-            method="head_trunk_outputs",
-        )
-        wk = params["params"]["head"]["out"]["kernel"]  # (d_trunk, V)
-        bk = params["params"]["head"]["out"]["bias"]  # (V,)
-        v = wk.shape[1]
-        pad = -v % (1024 if v > 4096 else 128)
-        table = jnp.pad(wk.T, ((0, pad), (0, 0)))  # (Vp, d_trunk)
-        bias = jnp.pad(bk, (0, pad))
-        row_offset = 0
-    else:
+    if head_kind not in ("tied_softmax", "softmax"):
         raise ValueError(f"fused CE requires a softmax-family head, got {head_kind}")
+    gathered = model.apply(
+        params,
+        batch["features"],
+        batch.get("head_positions"),
+        deterministic=rng is None,
+        rngs=None if rng is None else {"dropout": rng},
+        method=(
+            "gather_head_inputs"
+            if head_kind == "tied_softmax"
+            else "head_trunk_outputs"
+        ),
+    )
+    table, bias, row_offset, _ = head_catalog(model.config, params)
     return fused_masked_ce_sums(
         gathered, table, batch["labels"], row_offset, num_valid, bias=bias
     )
@@ -273,51 +252,29 @@ def make_eval_step(
     loss_fn = loss_fn or loss_for_head(head_kind)
 
     if chunked_num_valid is not None and head_kind in ("tied_softmax", "softmax"):
-        from bert4clickpath_tpu.constants import NUM_RESERVED_TOKENS
         from bert4clickpath_tpu.ops.chunked_eval import (
             chunked_eval_stats,
             pick_chunk,
         )
 
         def chunked_step(params, batch):
-            if head_kind == "tied_softmax":
-                gathered = model.apply(
-                    params,
-                    batch["features"],
-                    batch.get("head_positions"),
-                    deterministic=True,
-                    method="gather_head_inputs",
-                )
-                table = params["params"][f"embed_{model.config.item_feature}"][
-                    "embedding"
-                ]
-                row_offset = NUM_RESERVED_TOKENS
-                bias = None
-                if model.config.head.tied_bias:
-                    # (V_label,) bias spread onto model-space rows; pad rows 0
-                    b = params["params"]["tied_out_bias"]
-                    bias = jnp.zeros((table.shape[0],), b.dtype)
-                    bias = jax.lax.dynamic_update_slice(
-                        bias, b, (NUM_RESERVED_TOKENS,)
-                    )
-            else:
-                # 'softmax' MLP head: scan its final Dense(V) in chunks —
-                # the dense eval path's (B, P, V) f32 logits (1.8 GB at
-                # Beauty scale with eval_batch=512) never materialize
-                gathered = model.apply(
-                    params,
-                    batch["features"],
-                    batch.get("head_positions"),
-                    deterministic=True,
-                    method="head_trunk_outputs",
-                )
-                wk = params["params"]["head"]["out"]["kernel"]
-                bk = params["params"]["head"]["out"]["bias"]
-                v = wk.shape[1]
-                pad = -v % (1024 if v > 4096 else 128)
-                table = jnp.pad(wk.T, ((0, pad), (0, 0)))
-                bias = jnp.pad(bk, (0, pad))
-                row_offset = 0
+            # tied: rank against the shared embedding table; MLP softmax:
+            # scan the final Dense(V) rows — either way the dense eval
+            # path's (B, P, V) f32 logits (1.8 GB at Beauty scale with
+            # eval_batch=512) never materialize
+            gather_method = (
+                "gather_head_inputs"
+                if head_kind == "tied_softmax"
+                else "head_trunk_outputs"
+            )
+            gathered = model.apply(
+                params,
+                batch["features"],
+                batch.get("head_positions"),
+                deterministic=True,
+                method=gather_method,
+            )
+            table, bias, row_offset, _ = head_catalog(model.config, params)
             return chunked_eval_stats(
                 gathered,
                 table,

@@ -197,7 +197,11 @@ def main(argv=None):
     # monitoring early-stops this task at ~0.02 recall@10 while NDCG is
     # still improving (the reference's val_loss monitor was a latent trap).
     p.add_argument("--monitor", default="val_ndcg@10")
-    p.add_argument("--monitor_mode", default="max", choices=["min", "max"])
+    # "auto" resolves from the metric name (loss -> min, else max), so
+    # `--monitor val_loss` alone can't silently maximize a loss
+    p.add_argument(
+        "--monitor_mode", default="auto", choices=["auto", "min", "max"]
+    )
     p.add_argument("--patience", type=int, default=30)
     p.add_argument("--plateau_patience", type=int, default=10)
     p.add_argument("--weight_decay", type=float, default=0.0)

@@ -451,6 +451,17 @@ def test_serving_chunked_scores_match_dense(tmp_path):
             )
 
 
+def test_auto_monitor_rejects_pinned_mode():
+    # monitor='auto' + pinned mode could invert best-model selection
+    # (mode='min' while auto resolves to val_ndcg@10 tracks the WORST epoch)
+    from bert4clickpath_tpu.config import TrainConfig
+
+    with pytest.raises(ValueError):
+        TrainConfig(monitor_mode="min")
+    TrainConfig(monitor="val_loss", monitor_mode="min")  # pinned pair: fine
+    TrainConfig(monitor="val_ndcg@10", monitor_mode="auto")  # resolves by name
+
+
 def test_serving_pad_rows_never_ranked(tmp_path):
     """Serving pads the catalog to the chunk multiple with zero rows; an
     untrained model's real logits sit near 0 too, so any blinding slip
