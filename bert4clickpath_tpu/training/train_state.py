@@ -160,8 +160,12 @@ def make_train_step(
     donate: bool = True,
     fused_ce_num_valid: Optional[int] = None,
     ema_decay: float = 0.0,
+    raw: bool = False,
 ):
     """Returns jitted ``(state, batch, rng) -> (state, loss)``.
+
+    raw=True returns the step UN-jitted so a caller can jit it with its own
+    sharding annotations (parallel/tp.py wraps it in a tensor-parallel jit).
 
     ema_decay > 0 maintains an EMA shadow of the params (state.ema_params,
     created via ``TrainState.create(..., ema=True)``); evaluation/export
@@ -228,6 +232,8 @@ def make_train_step(
         )
         return new_state, loss
 
+    if raw:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
@@ -237,6 +243,7 @@ def make_eval_step(
     ks=(5, 10),
     axis_name: Optional[str] = None,
     chunked_num_valid: Optional[int] = None,
+    raw: bool = False,
 ):
     """Returns jitted ``(params, batch) -> (loss_sum_stats, metric_stats)``.
 
@@ -286,7 +293,7 @@ def make_eval_step(
                 bias=bias,
             )
 
-        return jax.jit(chunked_step)
+        return chunked_step if raw else jax.jit(chunked_step)
 
     def step(params, batch):
         logits = model.apply(
@@ -315,4 +322,6 @@ def make_eval_step(
             stats.update(bstats)
         return stats
 
+    if raw:
+        return step
     return jax.jit(step)

@@ -23,7 +23,11 @@ from bert4clickpath_tpu.ops.losses import masked_softmax_cross_entropy
 from bert4clickpath_tpu.parallel import embedding as emb_ops
 from bert4clickpath_tpu.parallel import spmd
 from bert4clickpath_tpu.parallel.mesh import make_mesh
-from bert4clickpath_tpu.training.train_state import TrainState, make_optimizer
+from bert4clickpath_tpu.training.train_state import (
+    TrainState,
+    make_optimizer,
+    make_train_step as make_train_step_single,
+)
 from bert4clickpath_tpu.training import schedules
 
 pytestmark = pytest.mark.skipif(
@@ -695,4 +699,121 @@ def test_spmd_tied_bias_eval_matches_dense():
     for k in ("recall@10_sum", "ndcg@10_sum", "recall@5_sum", "ndcg@5_sum"):
         np.testing.assert_allclose(
             stats[k], float(np.asarray(dense[k])), rtol=1e-5, err_msg=k
+        )
+
+
+# -- tensor-parallel (pjit auto-sharding) tier ------------------------------
+
+
+def _tp_setup(head_kind="tied_softmax", dropout=0.0):
+    gen = ClickStreamGenerator(n_items=40, session_cohesiveness=200, seed=0)
+    items, _ = gen.generate_sessions(96)
+    vocab = gen.item_vocab()
+    ds = ClozeDataset(items, vocab, max_items=16)
+    head = (
+        HeadConfig("tied_softmax", tied_bias=True)
+        if head_kind == "tied_softmax"
+        else HeadConfig("softmax", (24,), vocab.label_vocab_size)
+    )
+    cfg = ModelConfig(
+        features={"items": FeatureConfig(vocab.model_vocab_size, 32)},
+        num_layers=2,
+        num_heads=4,  # divisible by model axis 4 (head-parallel)
+        ffn_dim=64,
+        dropout_rate=dropout,
+        max_len=19,
+        head=head,
+    )
+    return _mesh(), ds, vocab, cfg
+
+
+def test_tp_train_step_matches_single_device():
+    """Megatron-style TP via XLA auto-partitioning must be bit-compatible
+    (up to f32 reduction order) with the single-device step: same loss,
+    same updated params after one step."""
+    from bert4clickpath_tpu.parallel import tp
+
+    for head_kind in ("tied_softmax", "softmax"):
+        mesh, ds, vocab, cfg = _tp_setup(head_kind)
+        model = ClickstreamModel(cfg)
+        b = _device_batch(next(ds.train_batches(8, seed=0)))
+        params = model.init(
+            {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+        )
+        tx = make_optimizer(TrainConfig())
+        rng = jax.random.PRNGKey(1)
+
+        ref_step = make_train_step_single(model, tx, schedules.constant(1e-2))
+        # both steps donate their state buffers: give each its own copy
+        ref_state, ref_loss = ref_step(
+            TrainState.create(jax.tree.map(jnp.copy, params), tx), b, rng
+        )
+
+        tp_step = tp.make_tp_train_step(
+            model, tx, schedules.constant(1e-2), mesh
+        )
+        state = tp.shard_tp_state(TrainState.create(params, tx), mesh, cfg)
+        batch = tp.shard_tp_batch(b, mesh, cfg)
+        new_state, loss = tp_step(state, batch, rng)
+
+        np.testing.assert_allclose(
+            float(loss), float(ref_loss), rtol=2e-5, err_msg=head_kind
+        )
+        got = jax.device_get(new_state.params)
+        want = jax.device_get(ref_state.params)
+
+        def check(path, a, c):
+            names = [str(getattr(k, "key", k)) for k in path]
+            if "wk" in names and "bias" in names:
+                # the key-projection bias has a mathematically ZERO gradient
+                # (a constant shift of every key cancels in softmax), so
+                # Adam normalizes reduction-order noise (~1e-8) into a full
+                # lr-sized step whose sign depends on summation order —
+                # check magnitude only
+                assert np.abs(a - c).max() <= 2.5e-2, names
+                return
+            np.testing.assert_allclose(a, c, rtol=3e-4, atol=2e-6, err_msg=names)
+
+        jax.tree_util.tree_map_with_path(check, got, want)
+
+
+def test_tp_eval_step_matches_single_device():
+    from bert4clickpath_tpu.parallel import tp
+    from bert4clickpath_tpu.training.train_state import make_eval_step
+
+    mesh, ds, vocab, cfg = _tp_setup()
+    model = ClickstreamModel(cfg)
+    b = _device_batch(next(ds.eval_batches(8)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+    )
+    want = jax.device_get(make_eval_step(model)(params, b))
+    tp_eval = tp.make_tp_eval_step(model, mesh)
+    pspec = jax.tree.map(
+        lambda s: jax.sharding.NamedSharding(mesh, s),
+        tp.tp_param_specs(params, cfg),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    got = jax.device_get(
+        tp_eval(jax.device_put(params, pspec), tp.shard_tp_batch(b, mesh, cfg))
+    )
+    jax.tree.map(
+        lambda a, c: np.testing.assert_allclose(a, c, rtol=2e-5, atol=1e-6),
+        got,
+        want,
+    )
+
+
+def test_tp_rejects_bad_shapes():
+    from bert4clickpath_tpu.parallel import tp
+
+    mesh, ds, vocab, cfg = _tp_setup()
+    bad = ModelConfig(
+        features=cfg.features, num_layers=1, num_heads=3, ffn_dim=64,
+        max_len=cfg.max_len, head=cfg.head,
+    )
+    with pytest.raises(ValueError):
+        tp.make_tp_train_step(
+            ClickstreamModel(bad), make_optimizer(TrainConfig()),
+            schedules.constant(1e-2), mesh,
         )
