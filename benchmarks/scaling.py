@@ -81,10 +81,20 @@ def run_mesh(data_axis, model_axis, args, gen, vocab):
     )["params"]
     tcfg = TrainConfig()
     tx = make_optimizer(tcfg)
-    state = spmd.shard_state(TrainState.create(params, tx), mesh, cfg)
-    step = spmd.make_spmd_train_step(
-        cfg, mesh, tx, schedules.constant(1e-3), vocab.label_vocab_size
-    )
+    if getattr(args, "tier", "spmd") == "tp":
+        # tensor-parallel tier (parallel/tp.py): encoder kernels shard over
+        # 'model' via XLA auto-partitioning; dense loss, replicated table
+        from bert4clickpath_tpu.parallel import tp
+
+        state = tp.shard_tp_state(
+            TrainState.create({"params": params}, tx), mesh, cfg
+        )
+        step = tp.make_tp_train_step(model, tx, schedules.constant(1e-3), mesh)
+    else:
+        state = spmd.shard_state(TrainState.create(params, tx), mesh, cfg)
+        step = spmd.make_spmd_train_step(
+            cfg, mesh, tx, schedules.constant(1e-3), vocab.label_vocab_size
+        )
     if n_procs > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -157,6 +167,7 @@ def worker(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--meshes", default="", help="e.g. 1x1,2x1,4x2 (default: all devices DP)")
+    p.add_argument("--tier", default="spmd", choices=["spmd", "tp"], help="spmd: shard_map + vocab-sharded fused CE; tp: pjit tensor-parallel encoder")
     p.add_argument("--items", type=int, default=54_542)
     p.add_argument("--d_model", type=int, default=256)
     p.add_argument("--layers", type=int, default=4)
