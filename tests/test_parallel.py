@@ -817,3 +817,55 @@ def test_tp_rejects_bad_shapes():
             ClickstreamModel(bad), make_optimizer(TrainConfig()),
             schedules.constant(1e-2), mesh,
         )
+
+
+def test_spmd_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """Failure-recovery rehearsal for the sharded tier: save mid-training,
+    restore on host, re-shard over the mesh, continue — the resumed run's
+    losses must equal the uninterrupted run step for step."""
+    from bert4clickpath_tpu.training import checkpoint as ckpt_lib
+
+    mesh, ds, vocab, cfg = _spmd_setup()
+    model = ClickstreamModel(cfg)
+    batches = []
+    it = ds.train_batches(8, seed=0)
+    for _ in range(4):
+        batches.append(spmd.shard_batch(_device_batch(next(it)), mesh, cfg))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jax.device_get(batches[0]["features"]),
+        jax.device_get(batches[0]["head_positions"]),
+    )["params"]
+    tx = make_optimizer(TrainConfig())
+    step = spmd.make_spmd_train_step(
+        cfg, mesh, tx, schedules.constant(1e-2), vocab.label_vocab_size
+    )
+    rng = jax.random.PRNGKey(1)
+
+    # uninterrupted: 4 steps
+    state = spmd.shard_state(
+        TrainState.create(jax.tree.map(jnp.copy, params), tx), mesh, cfg
+    )
+    want_losses = []
+    for b in batches:
+        state, loss = step(state, b, rng)
+        want_losses.append(float(loss))
+
+    # interrupted: 2 steps -> checkpoint -> restore -> re-shard -> 2 more
+    state = spmd.shard_state(TrainState.create(params, tx), mesh, cfg)
+    for b in batches[:2]:
+        state, loss = step(state, b, rng)
+    host_state = jax.device_get(state)
+    ckpt_lib.save_checkpoint(str(tmp_path / "ckpts"), host_state, 2)
+    del state
+
+    path = ckpt_lib.latest_checkpoint(str(tmp_path / "ckpts"))
+    assert path is not None and path.endswith("2")
+    restored = ckpt_lib.restore_state(path, jax.tree.map(np.asarray, host_state))
+    resumed = spmd.shard_state(restored, mesh, cfg)
+    assert int(np.asarray(resumed.step)) == 2
+    got_losses = []
+    for b in batches[2:]:
+        resumed, loss = step(resumed, b, rng)
+        got_losses.append(float(loss))
+    np.testing.assert_allclose(got_losses, want_losses[2:], rtol=1e-6)
