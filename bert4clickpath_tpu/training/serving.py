@@ -20,7 +20,7 @@ import numpy as np
 
 from bert4clickpath_tpu.config import ModelConfig
 from bert4clickpath_tpu.data.cloze import ITEM_OFFSET, token_length
-from bert4clickpath_tpu.constants import CLS_ID, MASK_ID, PAD_ID, SEP_ID
+from bert4clickpath_tpu.constants import CLS_ID, MASK_ID, NA_ID, PAD_ID, SEP_ID
 from bert4clickpath_tpu.models.model import ClickstreamModel
 from bert4clickpath_tpu.training import checkpoint as ckpt_lib
 from bert4clickpath_tpu.vocab import Vocabulary
@@ -53,7 +53,13 @@ class ServingModel:
         self.params = ckpt_lib.restore_params(
             os.path.join(export_dir, "params"), abstract
         )
-        self._item_feature = feature
+        # the catalog feature the head ranks; other features are paired
+        # per-event context (multi-variable models, e.g. (action, item))
+        self._item_feature = (
+            self.config.item_feature
+            if self.config.item_feature in self.config.features
+            else feature
+        )
         if self.config.head.kind not in ("tied_softmax", "softmax"):
             raise ValueError(
                 "ServingModel.recommend ranks the item catalog; head kind "
@@ -131,25 +137,59 @@ class ServingModel:
             )
         cfg = self.config
         vocab = self.vocabs[self._item_feature]
+        names = list(cfg.features)
         max_items = cfg.max_len - 3  # [CLS][SEP] ... [SEP]
         b = len(sessions)
-        tokens = np.full((b, token_length(max_items)), PAD_ID, np.int32)
-        tokens[:, 0] = CLS_ID
-        tokens[:, 1] = SEP_ID
-        tokens[:, -1] = SEP_ID
+
+        # normalize: single-feature models take each session as a token
+        # list; multi-variable models take {feature: [tokens...]} per
+        # session with aligned per-event lists (the training convention:
+        # examples/bert4rec/multivariable.py)
+        if b and isinstance(sessions[0], dict):
+            per_feature = {}
+            for f in names:
+                try:
+                    per_feature[f] = [s[f] for s in sessions]
+                except KeyError:
+                    raise ValueError(f"session missing feature {f!r}")
+        elif len(names) > 1:
+            raise ValueError(
+                f"model has features {names}; pass each session as a dict "
+                "{feature: [tokens...]} with aligned lengths"
+            )
+        else:
+            per_feature = {self._item_feature: sessions}
+        lens = [len(s) for s in per_feature[self._item_feature]]
+        for f in names:
+            for i, s in enumerate(per_feature[f]):
+                if len(s) != lens[i]:
+                    raise ValueError(
+                        f"session {i}: feature {f!r} has {len(s)} events, "
+                        f"{self._item_feature!r} has {lens[i]}"
+                    )
+
         positions = np.zeros((b, 1), np.int32)  # only the [MASK] slot scores
-        for i, session in enumerate(sessions):
-            ids = vocab.encode_model(list(session))[-(max_items - 1):]
-            n = len(ids)
-            tokens[i, ITEM_OFFSET : ITEM_OFFSET + n] = ids
-            tokens[i, ITEM_OFFSET + n] = MASK_ID
-            positions[i, 0] = ITEM_OFFSET + n
-        scores, idx = self._topk(
-            self.params,
-            {self._item_feature: jnp.asarray(tokens)},
-            jnp.asarray(positions),
-            k,
-        )
+        feats = {}
+        for f in names:
+            vf = self.vocabs[f]
+            tokens = np.full((b, token_length(max_items)), PAD_ID, np.int32)
+            tokens[:, 0] = CLS_ID
+            tokens[:, 1] = SEP_ID
+            tokens[:, -1] = SEP_ID
+            for i, session in enumerate(per_feature[f]):
+                # truncate all features to the same most-recent window
+                ids = vf.encode_model(list(session))[-(max_items - 1):]
+                n = len(ids)
+                tokens[i, ITEM_OFFSET : ITEM_OFFSET + n] = ids
+                # the appended next-item slot: [MASK] on the item feature,
+                # [NA] on paired features (the model never reads a real
+                # event at a masked slot — multivariable.py:59-93)
+                tokens[i, ITEM_OFFSET + n] = (
+                    MASK_ID if f == self._item_feature else NA_ID
+                )
+                positions[i, 0] = ITEM_OFFSET + n
+            feats[f] = jnp.asarray(tokens)
+        scores, idx = self._topk(self.params, feats, jnp.asarray(positions), k)
         scores, idx = np.asarray(scores), np.asarray(idx)
         results = [
             [(vocab.decode_label(int(idx[i, j])), float(scores[i, j])) for j in range(k)]

@@ -483,3 +483,92 @@ def test_serving_pad_rows_never_ranked(tmp_path):
     assert all(n.startswith("item_") for n in names), names[:5]
     total = float(np.exp([s for _, s in recs]).sum())
     np.testing.assert_allclose(total, 1.0, rtol=1e-4)  # softmax over catalog only
+
+
+def test_serving_multivariable_matches_dense(tmp_path):
+    """(event, item) paired-feature serving: dict sessions, [MASK] on the
+    item feature + [NA] on the event feature at the appended slot, exact
+    match vs the dense log-softmax top-k."""
+    from bert4clickpath_tpu.constants import (
+        CLS_ID,
+        MASK_ID,
+        NA_ID,
+        PAD_ID,
+        SEP_ID,
+    )
+    from bert4clickpath_tpu.data.cloze import ITEM_OFFSET, token_length
+    from bert4clickpath_tpu.vocab import Vocabulary
+
+    item_vocab = Vocabulary([f"item_{i}" for i in range(25)])
+    event_vocab = Vocabulary(["view", "click", "buy"])
+    cfg = ModelConfig(
+        features={
+            "items": FeatureConfig(item_vocab.model_vocab_size, 16),
+            "events": FeatureConfig(event_vocab.model_vocab_size, 8),
+        },
+        num_layers=1,
+        num_heads=1,
+        ffn_dim=32,
+        max_len=13,
+        head=HeadConfig("tied_softmax", output_size=item_vocab.label_vocab_size),
+    )
+    model = ClickstreamModel(cfg)
+    L = cfg.max_len
+    params = model.init(
+        {"params": jax.random.PRNGKey(3)},
+        {"items": jnp.zeros((1, L), jnp.int32), "events": jnp.zeros((1, L), jnp.int32)},
+        jnp.zeros((1, 1), jnp.int32),
+    )
+    export_dir = ckpt_lib.export_serving(
+        str(tmp_path / "export"),
+        jax.device_get(params),
+        cfg,
+        {"items": item_vocab, "events": event_vocab},
+    )
+    served = ServingModel(export_dir)
+
+    sessions = [
+        {"items": ["item_1", "item_2"], "events": ["view", "buy"]},
+        {"items": ["item_9"], "events": ["click"]},
+    ]
+    recs = served.recommend(sessions, k=4)
+
+    # manual dense reference
+    max_items = cfg.max_len - 3
+    ti = np.full((2, token_length(max_items)), PAD_ID, np.int32)
+    te = np.full((2, token_length(max_items)), PAD_ID, np.int32)
+    for t in (ti, te):
+        t[:, 0], t[:, 1], t[:, -1] = CLS_ID, SEP_ID, SEP_ID
+    pos = np.zeros((2, 1), np.int32)
+    for i, s in enumerate(sessions):
+        ii = item_vocab.encode_model(s["items"])
+        ee = event_vocab.encode_model(s["events"])
+        n = len(ii)
+        ti[i, ITEM_OFFSET : ITEM_OFFSET + n] = ii
+        te[i, ITEM_OFFSET : ITEM_OFFSET + n] = ee
+        ti[i, ITEM_OFFSET + n] = MASK_ID
+        te[i, ITEM_OFFSET + n] = NA_ID
+        pos[i, 0] = ITEM_OFFSET + n
+    logits = model.apply(
+        params,
+        {"items": jnp.asarray(ti), "events": jnp.asarray(te)},
+        jnp.asarray(pos),
+    )[:, 0][:, : item_vocab.label_vocab_size]
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    want_scores, want_idx = jax.lax.top_k(logprobs, 4)
+    for i in range(2):
+        got = [n for n, _ in recs[i]]
+        want = [item_vocab.decode_label(int(j)) for j in np.asarray(want_idx[i])]
+        assert got == want
+        np.testing.assert_allclose(
+            [s for _, s in recs[i]], np.asarray(want_scores[i]), rtol=1e-5
+        )
+
+    # a flat session list on a multi-feature model is a usage error
+    with pytest.raises(ValueError):
+        served.recommend([["item_1"]], k=2)
+    # misaligned per-feature lengths too
+    with pytest.raises(ValueError):
+        served.recommend(
+            [{"items": ["item_1", "item_2"], "events": ["view"]}], k=2
+        )
