@@ -120,9 +120,15 @@ def make_eval_batch(
     """Leave-one-out eval: the full sequence with only its last item masked
     (reference input_pipeline.py:115-120). Rows beyond ``len(sequences)``
     callers may add for padding are all-LABEL_PAD and drop out of metrics.
+
+    Emits WIDTH-1 positions/labels: leave-one-out scores exactly one slot
+    per user, and a max_masked-wide batch would make every eval forward
+    gather — and the full-catalog scan score — max_masked positions of
+    which all but one are padding (a ~P× waste; eval dominates quality-run
+    wall clock). ``max_masked`` is kept for signature compatibility.
     """
     b = len(sequences)
-    tokens, positions, labels = _empty_batch(b, max_items, max_masked)
+    tokens, positions, labels = _empty_batch(b, max_items, 1)
     for i, seq in enumerate(sequences):
         # Most-recent window so the masked position is the true last item.
         items = np.asarray(seq, dtype=np.int32)[-max_items:]

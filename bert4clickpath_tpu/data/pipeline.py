@@ -150,7 +150,12 @@ class ClozeDataset:
                 tokens, positions, labels = native_eval_batch(
                     values, offsets, idx, self.max_items, self.max_masked
                 )
-                batch = ClozeBatch({self.feature_name: tokens}, positions, labels)
+                # width-1 slots, matching make_eval_batch: leave-one-out
+                # scores one position per user; wider batches multiply the
+                # eval forward + catalog-scan cost by max_masked for nothing
+                batch = ClozeBatch(
+                    {self.feature_name: tokens}, positions[:, :1], labels[:, :1]
+                )
             else:
                 chunk = self.sequences[start : start + per_host_batch]
                 batch = make_eval_batch(

@@ -165,6 +165,11 @@ def main(argv=None):
         "advance only on evaluated epochs)",
     )
     p.add_argument(
+        "--parallel", default="auto", choices=["auto", "none", "dp"],
+        help="auto: data-parallel over all local devices when >1 (the "
+        "reference MirroredStrategy behavior); dp: force; none: one device",
+    )
+    p.add_argument(
         "--mu_dtype", default="float32", choices=["float32", "bfloat16"],
         help="Adam first-moment dtype; bfloat16 halves its HBM traffic",
     )
@@ -284,32 +289,56 @@ def main(argv=None):
         schedule = schedules.warmup_constant(tcfg.learning_rate, args.warmup_steps)
     else:
         schedule = schedules.constant(tcfg.learning_rate)
-    train_step = make_train_step(
-        model,
-        tx,
-        schedule,
-        # tied heads train through the fused Pallas CE (no dense logits);
-        # --fused_head opts the parity MLP head into the same kernel
-        fused_ce_num_valid=(
-            vocab.label_vocab_size
-            if cfg.head.kind == "tied_softmax"
-            or (cfg.head.kind == "softmax" and args.fused_head)
-            else None
-        ),
-        ema_decay=args.ema_decay,
+    # tied heads train through the fused Pallas CE (no dense logits);
+    # --fused_head opts the parity MLP head into the same kernel
+    fused_num_valid = (
+        vocab.label_vocab_size
+        if cfg.head.kind == "tied_softmax"
+        or (cfg.head.kind == "softmax" and args.fused_head)
+        else None
     )
-    eval_step = make_eval_step(
-        model,
-        ks=(5, 10),
-        # tied heads (and --fused_head MLP heads) evaluate via the chunked
-        # blinded catalog scan
-        chunked_num_valid=(
-            vocab.label_vocab_size
-            if cfg.head.kind == "tied_softmax"
-            or (cfg.head.kind == "softmax" and args.fused_head)
-            else None
-        ),
-    )
+    n_dev = len(jax.devices())
+    use_dp = args.parallel == "dp" or (args.parallel == "auto" and n_dev > 1)
+    batch_to_device = to_device
+    if use_dp:
+        # all local devices, data-parallel — the reference trained its only
+        # model under MirroredStrategy whenever >1 GPU was present
+        # (source/main.py:46-57,262); this is that behavior on a TPU mesh
+        from bert4clickpath_tpu import MeshConfig
+        from bert4clickpath_tpu.parallel import spmd
+        from bert4clickpath_tpu.parallel.mesh import make_mesh
+
+        eval_bs_check = args.eval_batch or args.batch
+        if args.batch % n_dev or eval_bs_check % n_dev:
+            raise SystemExit(
+                f"--parallel dp: batch {args.batch} and eval batch "
+                f"{eval_bs_check} must divide over {n_dev} devices"
+            )
+        mesh = make_mesh(MeshConfig(data=n_dev, model=1))
+        state = spmd.replicate_state(state, mesh)
+        train_step = spmd.make_dp_train_step(
+            model, mesh, tx, schedule,
+            ema_decay=args.ema_decay,
+            fused_ce_num_valid=fused_num_valid,
+        )
+        eval_step = spmd.make_dp_eval_step(model, mesh, ks=(5, 10))
+        batch_to_device = lambda b: spmd.shard_batch(to_device(b), mesh, cfg)  # noqa: E731
+        print(f"data-parallel over {n_dev} devices", flush=True)
+    else:
+        train_step = make_train_step(
+            model,
+            tx,
+            schedule,
+            fused_ce_num_valid=fused_num_valid,
+            ema_decay=args.ema_decay,
+        )
+        eval_step = make_eval_step(
+            model,
+            ks=(5, 10),
+            # tied heads (and --fused_head MLP heads) evaluate via the
+            # chunked blinded catalog scan
+            chunked_num_valid=fused_num_valid,
+        )
 
     def export_fn(best_params):
         ckpt_lib.export_serving(
@@ -321,7 +350,7 @@ def main(argv=None):
         eval_step,
         tcfg,
         model_dir=args.model_dir,
-        to_device=to_device,
+        to_device=batch_to_device,
         export_fn=export_fn,
         lr_fn=schedule,
     )

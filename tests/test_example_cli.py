@@ -80,3 +80,30 @@ def test_long_context_bench_cli():
         if "ms/step" in line
     ]
     assert len(losses) == 2 and losses[0] == losses[1], out.stdout
+
+
+def test_train_cli_data_parallel(tmp_path):
+    """--parallel dp trains the parity config over all virtual devices —
+    the reference's MirroredStrategy story, end to end through the CLI."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        PYTHONPATH="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "bert4rec", "train.py"),
+            "--simulated", "--n_items", "40", "--n_sessions", "300",
+            "--model_dir", str(tmp_path / "dp"),
+            "--preset", "parity", "--epochs", "2", "--batch", "32",
+            "--eval_batches", "2", "--max_items", "20", "--parallel", "dp",
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "data-parallel over 8 devices" in out.stdout
+    assert "done" in out.stdout
+    assert (tmp_path / "dp" / "export" / "model_config.json").exists()
