@@ -178,7 +178,9 @@ class Trainer:
                 self._log(record)
                 continue
             # EMA-enabled states validate and export the shadow params
+            t_eval = time.monotonic()
             val = self.evaluate(eval_params(state), eval_batches_fn())
+            record["eval_seconds"] = round(time.monotonic() - t_eval, 3)
             record["val_loss"] = float(val.get("loss", float("nan")))
             for k, v in val.items():
                 if k not in ("loss", "n"):
