@@ -60,6 +60,20 @@ class ClozeBatch:
         return self.labels.shape[0]
 
 
+def stack_batches(batches: Sequence[ClozeBatch]) -> ClozeBatch:
+    """Stack K same-shape batches into one with a leading (K, ...) axis —
+    the host half of the scan-train-step path (one transfer + one dispatch
+    per K steps; training/train_state.make_scan_train_step)."""
+    return ClozeBatch(
+        {
+            k: np.stack([b.features[k] for b in batches])
+            for k in batches[0].features
+        },
+        np.stack([b.head_positions for b in batches]),
+        np.stack([b.labels for b in batches]),
+    )
+
+
 def token_length(max_items: int) -> int:
     return max_items + N_SPECIAL
 

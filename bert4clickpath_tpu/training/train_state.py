@@ -237,6 +237,40 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_scan_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    schedule: Callable,
+    **kwargs,
+):
+    """Returns jitted ``(state, stacked_batches, rng) -> (state, losses)``.
+
+    Runs K train steps in ONE device program via ``lax.scan`` over a
+    batch pytree whose leaves carry a leading (K, ...) axis. The math is
+    identical to K calls of :func:`make_train_step` (the same raw step is
+    the scan body; per-step RNG still folds in ``state.step``) — what
+    changes is the host interaction: one dispatch and one host→device
+    transfer per K steps instead of per step. On remote/tunnel backends
+    where each dispatch and transfer is an RPC, per-step overhead was
+    measured comparable to the device step itself (KERNELS.md), so this is
+    the difference between ~60% and ~95% device utilization. Idiomatic XLA:
+    the scan body compiles once regardless of K.
+
+    kwargs forward to make_train_step (loss_fn, fused_ce_num_valid,
+    ema_decay, ...). losses come back as a (K,) device array.
+    """
+    step = make_train_step(model, tx, schedule, raw=True, **kwargs)
+
+    def multi(state: TrainState, stacked_batches, rng):
+        def body(carry, batch):
+            new_state, loss = step(carry, batch, rng)
+            return new_state, loss
+
+        return jax.lax.scan(body, state, stacked_batches)
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
 def make_eval_step(
     model,
     loss_fn: Optional[Callable] = None,

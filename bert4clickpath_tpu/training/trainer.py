@@ -47,9 +47,20 @@ class Trainer:
         lr_fn: Optional[Callable] = None,
         tensorboard: bool = True,
         prefetch: int = 2,
+        steps_per_call: int = 1,
+        stack_batches: Optional[Callable] = None,
     ):
         """
         train_step: (state, batch, rng) -> (state, loss)
+
+        steps_per_call > 1 runs that many train steps per device call:
+        ``train_step`` must then be a scan step
+        (train_state.make_scan_train_step) returning (K,) losses, and
+        ``stack_batches`` must stack K host batches into one with a leading
+        K axis (e.g. data.cloze.stack_batches). One dispatch + one transfer
+        per K steps — the lever that matters on remote/tunnel backends where
+        every host↔device interaction is an RPC. steps_per_epoch must be a
+        multiple of steps_per_call (a ragged tail chunk would recompile).
         eval_step: (params, batch) -> stats dict of sums
         to_device: ClozeBatch -> the batch dict the steps expect (handles
             device_put / sharding in the pjit case)
@@ -71,6 +82,16 @@ class Trainer:
         self.is_host0 = is_host0
         self.lr_fn = lr_fn
         self.prefetch = prefetch
+        self.steps_per_call = max(1, steps_per_call)
+        self.stack_batches = stack_batches
+        if self.steps_per_call > 1:
+            if stack_batches is None:
+                raise ValueError("steps_per_call > 1 requires stack_batches")
+            if cfg.steps_per_epoch % self.steps_per_call:
+                raise ValueError(
+                    f"steps_per_epoch {cfg.steps_per_epoch} not a multiple "
+                    f"of steps_per_call {self.steps_per_call}"
+                )
         self.history: list[dict] = []
         self._merge_jit = jax.jit(metrics_lib.merge)
         self._tb = None
@@ -140,6 +161,19 @@ class Trainer:
         best_val = math.inf
         epochs_since_best = 0
         epochs_since_plateau_cut = 0
+        spc = self.steps_per_call
+        if spc > 1:
+            # stack K host batches -> one (K, ...) chunk -> one transfer;
+            # the scan step runs all K on device in one dispatch
+            host_iter = train_batches
+
+            def chunks():
+                while True:
+                    yield self.stack_batches(
+                        [next(host_iter) for _ in range(spc)]
+                    )
+
+            train_batches = chunks()
         if self.prefetch:
             train_batches = prefetch_to_device(
                 train_batches, self.to_device, depth=self.prefetch
@@ -153,13 +187,13 @@ class Trainer:
         for epoch in range(n_epochs):
             t0 = time.monotonic()
             losses = []
-            for _ in range(cfg.steps_per_epoch):
+            for _ in range(cfg.steps_per_epoch // spc):
                 batch = next(train_batches)
                 state, loss = self.train_step(state, batch, rng)
-                losses.append(loss)
+                losses.append(jnp.atleast_1d(loss))
             # one fused fetch — per-scalar np.asarray would be a host
             # round-trip per step on the remote-TPU backend
-            train_loss = float(np.asarray(jnp.stack(losses)).mean())
+            train_loss = float(np.asarray(jnp.concatenate(losses)).mean())
             dt = time.monotonic() - t0
 
             do_eval = (epoch % eval_every == 0) or (epoch == n_epochs - 1)

@@ -170,6 +170,13 @@ def main(argv=None):
         "reference MirroredStrategy behavior); dp: force; none: one device",
     )
     p.add_argument(
+        "--steps_per_call", type=int, default=-1,
+        help="train steps per device dispatch (lax.scan). -1 auto: a whole "
+        "epoch on TPU backends (per-step dispatch+transfer RPCs cost as "
+        "much as the device step through the tunnel), 1 elsewhere; "
+        "single-device path only",
+    )
+    p.add_argument(
         "--mu_dtype", default="float32", choices=["float32", "bfloat16"],
         help="Adam first-moment dtype; bfloat16 halves its HBM traffic",
     )
@@ -300,6 +307,7 @@ def main(argv=None):
     n_dev = len(jax.devices())
     use_dp = args.parallel == "dp" or (args.parallel == "auto" and n_dev > 1)
     batch_to_device = to_device
+    spc, stack_batches = 1, None
     if use_dp:
         # all local devices, data-parallel — the reference trained its only
         # model under MirroredStrategy whenever >1 GPU was present
@@ -325,13 +333,36 @@ def main(argv=None):
         batch_to_device = lambda b: spmd.shard_batch(to_device(b), mesh, cfg)  # noqa: E731
         print(f"data-parallel over {n_dev} devices", flush=True)
     else:
-        train_step = make_train_step(
-            model,
-            tx,
-            schedule,
-            fused_ce_num_valid=fused_num_valid,
-            ema_decay=args.ema_decay,
-        )
+        spc = args.steps_per_call
+        if spc < 0:  # auto: amortize the tunnel's per-dispatch RPC cost
+            spc = steps_per_epoch if jax.default_backend() != "cpu" else 1
+        if spc > 1 and steps_per_epoch % spc:
+            spc = 1  # odd combos fall back rather than erroring out
+        if spc > 1:
+            from bert4clickpath_tpu.data.cloze import stack_batches as _stack
+            from bert4clickpath_tpu.training.train_state import (
+                make_scan_train_step,
+            )
+
+            stack_batches = _stack
+
+            train_step = make_scan_train_step(
+                model,
+                tx,
+                schedule,
+                fused_ce_num_valid=fused_num_valid,
+                ema_decay=args.ema_decay,
+            )
+            print(f"scan train step: {spc} steps/dispatch", flush=True)
+        else:
+            spc = 1
+            train_step = make_train_step(
+                model,
+                tx,
+                schedule,
+                fused_ce_num_valid=fused_num_valid,
+                ema_decay=args.ema_decay,
+            )
         eval_step = make_eval_step(
             model,
             ks=(5, 10),
@@ -353,6 +384,8 @@ def main(argv=None):
         to_device=batch_to_device,
         export_fn=export_fn,
         lr_fn=schedule,
+        steps_per_call=spc,
+        stack_batches=stack_batches,
     )
     eval_limit = args.eval_batches or None
     eval_bs = args.eval_batch or args.batch

@@ -107,3 +107,25 @@ def test_train_cli_data_parallel(tmp_path):
     assert "data-parallel over 8 devices" in out.stdout
     assert "done" in out.stdout
     assert (tmp_path / "dp" / "export" / "model_config.json").exists()
+
+
+def test_train_cli_steps_per_call(tmp_path):
+    """--steps_per_call runs the scan multi-step path end to end."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "bert4rec", "train.py"),
+            "--simulated", "--n_items", "40", "--n_sessions", "300",
+            "--model_dir", str(tmp_path / "scan"),
+            "--preset", "parity", "--epochs", "2", "--batch", "32",
+            "--eval_batches", "2", "--max_items", "20",
+            "--steps_per_epoch", "4", "--steps_per_call", "4",
+            "--parallel", "none",
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "scan train step: 4 steps/dispatch" in out.stdout
+    assert "done" in out.stdout

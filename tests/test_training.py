@@ -572,3 +572,83 @@ def test_serving_multivariable_matches_dense(tmp_path):
         served.recommend(
             [{"items": ["item_1", "item_2"], "events": ["view"]}], k=2
         )
+
+
+def test_scan_train_step_matches_sequential():
+    """K scanned steps in one dispatch == K sequential single steps:
+    same per-step losses, same final params (identical math, only the
+    host interaction changes)."""
+    from bert4clickpath_tpu.data.cloze import stack_batches
+    from bert4clickpath_tpu.training.train_state import make_scan_train_step
+
+    ds, vocab, cfg, model = _setup()
+    it = ds.train_batches(16, seed=0)
+    host_batches = [next(it) for _ in range(4)]
+    b0 = _to_device(host_batches[0])
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"]
+    )
+    tx = make_optimizer(TrainConfig())
+    rng = jax.random.PRNGKey(1)
+
+    step = make_train_step(model, tx, schedules.constant(1e-2), donate=False)
+    seq_state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    seq_losses = []
+    for hb in host_batches:
+        seq_state, loss = step(seq_state, _to_device(hb), rng)
+        seq_losses.append(float(loss))
+
+    scan_step = make_scan_train_step(model, tx, schedules.constant(1e-2))
+    stacked = _to_device(stack_batches(host_batches))
+    scan_state, losses = scan_step(TrainState.create(params, tx), stacked, rng)
+
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-6)
+    assert int(np.asarray(scan_state.step)) == 4
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        jax.device_get(scan_state.params),
+        jax.device_get(seq_state.params),
+    )
+
+
+def test_trainer_steps_per_call(tmp_path):
+    """Trainer chunked mode: same epochs/records, train_loss is the mean
+    over all K*chunks steps; config errors rejected."""
+    from bert4clickpath_tpu.data.cloze import stack_batches
+    from bert4clickpath_tpu.training.train_state import make_scan_train_step
+
+    ds, vocab, cfg, model = _setup()
+    tcfg = TrainConfig(batch_size=16, steps_per_epoch=4, n_epochs=2)
+    b0 = _to_device(next(ds.train_batches(16, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"]
+    )
+    tx = make_optimizer(tcfg)
+    trainer = Trainer(
+        make_scan_train_step(model, tx, schedules.constant(1e-3)),
+        make_eval_step(model),
+        tcfg,
+        model_dir=str(tmp_path),
+        to_device=_to_device,
+        steps_per_call=2,
+        stack_batches=stack_batches,
+    )
+    state = trainer.fit(
+        TrainState.create(params, tx),
+        ds.train_batches(16, seed=1),
+        lambda: ds.eval_batches(16, limit_batches=1),
+        jax.random.PRNGKey(2),
+    )
+    assert len(trainer.history) == 2
+    assert int(np.asarray(state.step)) == 8  # 2 epochs x 4 steps
+    assert np.isfinite(trainer.history[0]["train_loss"])
+
+    with pytest.raises(ValueError):  # 4 % 3 != 0
+        Trainer(
+            lambda *a: None, lambda *a: None, tcfg,
+            steps_per_call=3, stack_batches=stack_batches,
+        )
+    with pytest.raises(ValueError):  # missing stack_batches
+        Trainer(lambda *a: None, lambda *a: None, tcfg, steps_per_call=2)
