@@ -69,12 +69,14 @@ def main():
     )
     model = ClickstreamModel(cfg)
 
+    from bert4clickpath_tpu.data.cloze import stack_batches
+
     items, _ = gen.generate_sessions(BATCH * 4)
     ds = ClozeDataset(items, vocab, max_items=50)
     it = ds.train_batches(BATCH, seed=0)
+    host = [next(it) for _ in range(8)]
     batches = []
-    for _ in range(8):
-        b = next(it)
+    for b in host:
         batches.append(
             {
                 "features": {k: jnp.asarray(v) for k, v in b.features.items()},
@@ -82,6 +84,14 @@ def main():
                 "labels": jnp.asarray(b.labels),
             }
         )
+    # the driver's default training mode: one lax.scan dispatch per STEPS
+    # steps, batches resident on device (cycled copies of the 8 host batches)
+    stacked_host = stack_batches([host[i % len(host)] for i in range(STEPS)])
+    stacked = {
+        "features": {k: jnp.asarray(v) for k, v in stacked_host.features.items()},
+        "head_positions": jnp.asarray(stacked_host.head_positions),
+        "labels": jnp.asarray(stacked_host.labels),
+    }
 
     tcfg = TrainConfig(batch_size=BATCH)
     params = model.init(
@@ -94,10 +104,16 @@ def main():
     # no quality effect at these scales.
     tx = make_optimizer(tcfg, mu_dtype=jnp.bfloat16)
     state = TrainState.create(params, tx)
+    from bert4clickpath_tpu.training.train_state import make_scan_train_step
+
     step = make_train_step(
         model,
         tx,
         schedules.constant(1e-3),
+        fused_ce_num_valid=vocab.label_vocab_size,
+    )
+    scan_step = make_scan_train_step(
+        model, tx, schedules.constant(1e-3),
         fused_ce_num_valid=vocab.label_vocab_size,
     )
     rng = jax.random.PRNGKey(1)
@@ -108,14 +124,14 @@ def main():
         state, loss = step(state, batches[i % len(batches)], rng)
     float(np.asarray(loss))  # value fetch forces real completion
 
-    # Two timed windows, report the second. Each window ends with a scalar
-    # *fetch*, not just block_until_ready — on the remote-tunnel backend only
-    # a value fetch guarantees the queued executions actually finished.
+    # Two timed windows, report the second. Each window is ONE scan dispatch
+    # of STEPS steps (the driver's default training mode) ending in a scalar
+    # *fetch* — on the remote-tunnel backend only a value fetch guarantees
+    # the queued executions actually finished.
     for _ in range(2):
         t0 = time.perf_counter()
-        for i in range(STEPS):
-            state, loss = step(state, batches[i % len(batches)], rng)
-        float(np.asarray(loss))
+        state, losses = scan_step(state, stacked, rng)
+        float(np.asarray(losses[-1]))
         dt = time.perf_counter() - t0
 
     examples_per_s = BATCH * STEPS / dt
