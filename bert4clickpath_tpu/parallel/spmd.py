@@ -534,18 +534,58 @@ def make_dp_eval_step(
     mesh: Mesh,
     ks=(5, 10),
     pos_weight: Optional[float] = None,
+    chunked_num_valid: Optional[int] = None,
 ):
     """Jitted data-parallel eval step: (params, batch) -> global stat sums.
 
     Same stats contract as the single-chip ``make_eval_step`` (sums + n, so
     the trainer's cross-batch aggregation is exact); psums run outside any
     autodiff, so plain collectives are safe here.
+
+    chunked_num_valid: softmax-family heads — each shard ranks its batch
+    rows via the chunked catalog scan (ops/chunked_eval) instead of dense
+    (B_local, P, V) logits, then the stat sums psum. Required at large
+    catalogs (dense eval logits at 10M items would be GBs per device).
     """
     from bert4clickpath_tpu.ops import metrics as metrics_lib
 
     head_kind = model.config.head.kind
+    use_chunked = chunked_num_valid is not None and head_kind in (
+        "tied_softmax",
+        "softmax",
+    )
+    if use_chunked:
+        from bert4clickpath_tpu.models.model import head_catalog
+        from bert4clickpath_tpu.ops.chunked_eval import (
+            chunked_eval_stats,
+            pick_chunk,
+        )
 
     def step(params, batch):
+        if use_chunked:
+            gathered = model.apply(
+                params,
+                batch["features"],
+                batch.get("head_positions"),
+                deterministic=True,
+                method=(
+                    "gather_head_inputs"
+                    if head_kind == "tied_softmax"
+                    else "head_trunk_outputs"
+                ),
+            )
+            table, bias, row_offset, _ = head_catalog(model.config, params)
+            local = chunked_eval_stats(
+                gathered,
+                table,
+                batch["labels"],
+                ks=ks,
+                row_offset=row_offset,
+                num_valid=chunked_num_valid,
+                chunk=pick_chunk(table.shape[0]),
+                bias=bias,
+            )
+            return metrics_lib.psum_stats(local, DATA_AXIS)
         logits = model.apply(
             params,
             batch["features"],

@@ -65,27 +65,48 @@ class ServingModel:
                 "ServingModel.recommend ranks the item catalog; head kind "
                 f"{self.config.head.kind!r} has no catalog to rank"
             )
-        self._topk = jax.jit(self._make_topk(), static_argnums=(3,))
+        # catalog prep (transpose + tile padding) runs ONCE at load — inside
+        # the jitted fn it would re-run per request (params are runtime jit
+        # inputs, so XLA can't constant-fold the pad: ~56 MB/request at the
+        # flagship MLP export, multi-GB at 10M-item tied catalogs)
+        from bert4clickpath_tpu.models.model import head_catalog
+
+        table, bias, _, base_rows = head_catalog(
+            self.config, self.params, pad_rows=True
+        )
+        self._catalog = (jnp.asarray(table), None if bias is None else jnp.asarray(bias))
+        self._catalog_base_rows = base_rows
+        self._topk = jax.jit(self._make_topk(), static_argnums=(5,))
 
     def _make_topk(self):
-        """(params, feats, (B,1) positions, k) -> (logprobs (B,k), label ids).
+        """(params, table, bias, feats, (B,1) positions, k) ->
+        (logprobs (B,k), label ids).
 
         Scores via the chunked catalog scan (ops/chunked_eval.chunked_scores)
         on the single [MASK] position: no (B, P, V) logits, so serving works
         unchanged at 10M-item catalogs, and the softmax normalizer comes
-        from the scan's online logsumexp.
+        from the scan's online logsumexp. ``table``/``bias`` are the
+        load-time prepared catalog (self._catalog), passed as arguments so
+        they live on device once rather than being rebuilt per request.
         """
         from bert4clickpath_tpu.constants import (
             LABEL_PAD,
             NUM_RESERVED_TOKENS,
         )
-        from bert4clickpath_tpu.models.model import head_catalog
         from bert4clickpath_tpu.ops.chunked_eval import chunked_scores, pick_chunk
 
         cfg = self.config
         model = self.model
+        if cfg.head.kind == "tied_softmax":
+            row_offset = NUM_RESERVED_TOKENS
+            v_label = cfg.head.output_size or (
+                self._catalog_base_rows - NUM_RESERVED_TOKENS - 1
+            )
+        else:  # 'softmax' MLP head: final Dense(V) rows as the catalog
+            row_offset = 0
+            v_label = self._catalog_base_rows
 
-        def fn(params, feats, pos, k):
+        def fn(params, table, bias, feats, pos, k):
             x = model.apply(
                 params, feats, pos, deterministic=True,
                 method=(
@@ -94,17 +115,6 @@ class ServingModel:
                     else "head_trunk_outputs"
                 ),
             )
-            # pad_rows: chunked_scores needs rows % chunk == 0 and serving
-            # can't assume the training driver pre-padded the tied table
-            table, bias, row_offset, base_rows = head_catalog(
-                cfg, params, pad_rows=True
-            )
-            if cfg.head.kind == "tied_softmax":
-                v_label = cfg.head.output_size or (
-                    base_rows - NUM_RESERVED_TOKENS - 1
-                )
-            else:  # 'softmax' MLP head: final Dense(V) rows as the catalog
-                v_label = base_rows
             no_labels = jnp.full(x.shape[:2], LABEL_PAD, jnp.int32)
             logz, _, vals, rowids = chunked_scores(
                 x, table, no_labels, k,
@@ -140,6 +150,8 @@ class ServingModel:
         names = list(cfg.features)
         max_items = cfg.max_len - 3  # [CLS][SEP] ... [SEP]
         b = len(sessions)
+        if b == 0:
+            return []
 
         # normalize: single-feature models take each session as a token
         # list; multi-variable models take {feature: [tokens...]} per
@@ -189,7 +201,10 @@ class ServingModel:
                 )
                 positions[i, 0] = ITEM_OFFSET + n
             feats[f] = jnp.asarray(tokens)
-        scores, idx = self._topk(self.params, feats, jnp.asarray(positions), k)
+        table, bias = self._catalog
+        scores, idx = self._topk(
+            self.params, table, bias, feats, jnp.asarray(positions), k
+        )
         scores, idx = np.asarray(scores), np.asarray(idx)
         results = [
             [(vocab.decode_label(int(idx[i, j])), float(scores[i, j])) for j in range(k)]

@@ -259,6 +259,7 @@ def make_scan_train_step(
     kwargs forward to make_train_step (loss_fn, fused_ce_num_valid,
     ema_decay, ...). losses come back as a (K,) device array.
     """
+    donate = kwargs.pop("donate", True)
     step = make_train_step(model, tx, schedule, raw=True, **kwargs)
 
     def multi(state: TrainState, stacked_batches, rng):
@@ -268,7 +269,7 @@ def make_scan_train_step(
 
         return jax.lax.scan(body, state, stacked_batches)
 
-    return jax.jit(multi, donate_argnums=(0,))
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(

@@ -329,15 +329,28 @@ def main(argv=None):
             ema_decay=args.ema_decay,
             fused_ce_num_valid=fused_num_valid,
         )
-        eval_step = spmd.make_dp_eval_step(model, mesh, ks=(5, 10))
+        eval_step = spmd.make_dp_eval_step(
+            model, mesh, ks=(5, 10), chunked_num_valid=fused_num_valid
+        )
         batch_to_device = lambda b: spmd.shard_batch(to_device(b), mesh, cfg)  # noqa: E731
+        if args.steps_per_call > 1:
+            print(
+                "note: --steps_per_call applies to the single-device path; "
+                "DP runs one dispatch per step",
+                flush=True,
+            )
         print(f"data-parallel over {n_dev} devices", flush=True)
     else:
         spc = args.steps_per_call
         if spc < 0:  # auto: amortize the tunnel's per-dispatch RPC cost
             spc = steps_per_epoch if jax.default_backend() != "cpu" else 1
-        if spc > 1 and steps_per_epoch % spc:
-            spc = 1  # odd combos fall back rather than erroring out
+        elif spc > 1 and steps_per_epoch % spc:
+            # an explicit request that can't be honored is an error, not a
+            # silent fallback to per-step dispatch
+            raise SystemExit(
+                f"--steps_per_call {spc} does not divide steps_per_epoch "
+                f"{steps_per_epoch}"
+            )
         if spc > 1:
             from bert4clickpath_tpu.data.cloze import stack_batches as _stack
             from bert4clickpath_tpu.training.train_state import (

@@ -869,3 +869,31 @@ def test_spmd_checkpoint_resume_matches_uninterrupted(tmp_path):
         resumed, loss = step(resumed, b, rng)
         got_losses.append(float(loss))
     np.testing.assert_allclose(got_losses, want_losses[2:], rtol=1e-6)
+
+
+def test_dp_chunked_eval_matches_single_device():
+    """DP eval with the chunked catalog scan (no (B_local, P, V) logits)
+    == the single-device chunked eval — both head kinds."""
+    from bert4clickpath_tpu.training.train_state import make_eval_step
+
+    for setup in (_parity_head_setup, _spmd_setup):
+        if setup is _spmd_setup:
+            mesh, ds, vocab, cfg = _spmd_setup(mesh_shape=(8, 1))
+        else:
+            mesh, ds, vocab, cfg = setup()
+        model = ClickstreamModel(cfg)
+        b = _device_batch(next(ds.train_batches(8, seed=0)))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+        )
+        v = vocab.label_vocab_size
+        ev = spmd.make_dp_eval_step(model, mesh, chunked_num_valid=v)
+        stats = ev(variables, spmd.shard_batch(b, mesh, cfg))
+        single = make_eval_step(model, chunked_num_valid=v)(variables, b)
+        for k in ("n", "loss_sum", "recall@10_sum", "ndcg@10_sum"):
+            np.testing.assert_allclose(
+                float(np.asarray(stats[k])),
+                float(np.asarray(single[k])),
+                rtol=1e-4,
+                err_msg=f"{setup.__name__}:{k}",
+            )
