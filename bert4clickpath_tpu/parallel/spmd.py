@@ -459,8 +459,15 @@ def make_dp_train_step(
     pos_weight: Optional[float] = None,
     ema_decay: float = 0.0,
     fused_ce_num_valid: Optional[int] = None,
+    steps_per_call: int = 1,
 ):
     """Jitted data-parallel train step for any head kind.
+
+    steps_per_call > 1 returns a scan variant,
+    ``(state, stacked_batches, rng) -> (state, (K,) losses)``: the batch
+    pytree carries a leading (K,) axis (shard with
+    :func:`shard_stacked_batch`), and each device runs all K steps in one
+    dispatch — the DP composition of make_scan_train_step.
 
     ``(state, batch, rng) -> (state, loss)`` with the same contract as the
     single-chip ``make_train_step``: state holds the FULL variables dict
@@ -526,7 +533,50 @@ def make_dp_train_step(
             check_vma=False,
         )(state, batch, rng)
 
-    return jax.jit(sharded, donate_argnums=(0,))
+    if steps_per_call <= 1:
+        return jax.jit(sharded, donate_argnums=(0,))
+
+    # scan-inside-shard_map: each device runs K steps over its slice of a
+    # (K, B, ...) stacked batch in ONE dispatch; the per-step psums become
+    # collectives inside the scan body. Same amortization as the
+    # single-device make_scan_train_step, composed with DP.
+    def stacked_specs():
+        return jax.tree.map(
+            lambda s: P(None, *s), batch_specs(model.config),
+            is_leaf=lambda x: isinstance(x, P),
+        )
+
+    def sharded_scan(state, stacked, rng):
+        r_specs = jax.tree.map(lambda _: P(), state)
+
+        def scanned(state, batches, rng):
+            def body(carry, b):
+                return step(carry, b, rng)
+
+            return jax.lax.scan(body, state, batches)
+
+        return jax.shard_map(
+            scanned,
+            mesh=mesh,
+            in_specs=(r_specs, stacked_specs(), P()),
+            out_specs=(r_specs, P()),
+            check_vma=False,
+        )(state, stacked, rng)
+
+    return jax.jit(sharded_scan, donate_argnums=(0,))
+
+
+def shard_stacked_batch(batch: dict, mesh: Mesh, config: ModelConfig) -> dict:
+    """Place a (K, B, ...) stacked batch with rows sharded over 'data'."""
+    specs = jax.tree.map(
+        lambda s: P(None, *s), batch_specs(config),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    return jax.tree.map(
+        lambda x, s: jax.device_put(jnp.asarray(x), NamedSharding(mesh, s)),
+        batch,
+        specs,
+    )
 
 
 def make_dp_eval_step(

@@ -173,8 +173,8 @@ def main(argv=None):
         "--steps_per_call", type=int, default=-1,
         help="train steps per device dispatch (lax.scan). -1 auto: a whole "
         "epoch on TPU backends (per-step dispatch+transfer RPCs cost as "
-        "much as the device step through the tunnel), 1 elsewhere; "
-        "single-device path only",
+        "much as the device step through the tunnel), 1 elsewhere; works "
+        "on the single-device and DP paths",
     )
     p.add_argument(
         "--mu_dtype", default="float32", choices=["float32", "bfloat16"],
@@ -324,21 +324,35 @@ def main(argv=None):
             )
         mesh = make_mesh(MeshConfig(data=n_dev, model=1))
         state = spmd.replicate_state(state, mesh)
+        spc = args.steps_per_call
+        if spc < 0:  # auto, same policy as the single-device path
+            spc = steps_per_epoch if jax.default_backend() != "cpu" else 1
+        elif spc > 1 and steps_per_epoch % spc:
+            raise SystemExit(
+                f"--steps_per_call {spc} does not divide steps_per_epoch "
+                f"{steps_per_epoch}"
+            )
+        if spc > 1:
+            from bert4clickpath_tpu.data.cloze import stack_batches as _stack
+
+            stack_batches = _stack
+            print(f"DP scan train step: {spc} steps/dispatch", flush=True)
         train_step = spmd.make_dp_train_step(
             model, mesh, tx, schedule,
             ema_decay=args.ema_decay,
             fused_ce_num_valid=fused_num_valid,
+            steps_per_call=spc,
         )
         eval_step = spmd.make_dp_eval_step(
             model, mesh, ks=(5, 10), chunked_num_valid=fused_num_valid
         )
-        batch_to_device = lambda b: spmd.shard_batch(to_device(b), mesh, cfg)  # noqa: E731
-        if args.steps_per_call > 1:
-            print(
-                "note: --steps_per_call applies to the single-device path; "
-                "DP runs one dispatch per step",
-                flush=True,
-            )
+
+        def batch_to_device(b):
+            d = to_device(b)
+            if d["labels"].ndim == 3:  # (K, B, P) stacked train chunk
+                return spmd.shard_stacked_batch(d, mesh, cfg)
+            return spmd.shard_batch(d, mesh, cfg)
+
         print(f"data-parallel over {n_dev} devices", flush=True)
     else:
         spc = args.steps_per_call

@@ -129,3 +129,29 @@ def test_train_cli_steps_per_call(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "scan train step: 4 steps/dispatch" in out.stdout
     assert "done" in out.stdout
+
+
+def test_train_cli_dp_scan(tmp_path):
+    """DP + scan: K steps per dispatch inside shard_map, through the CLI."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        PYTHONPATH="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "bert4rec", "train.py"),
+            "--simulated", "--n_items", "40", "--n_sessions", "300",
+            "--model_dir", str(tmp_path / "dpscan"),
+            "--preset", "parity", "--epochs", "2", "--batch", "32",
+            "--eval_batches", "2", "--max_items", "20", "--parallel", "dp",
+            "--steps_per_epoch", "4", "--steps_per_call", "2",
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "DP scan train step: 2 steps/dispatch" in out.stdout
+    assert "done" in out.stdout

@@ -897,3 +897,57 @@ def test_dp_chunked_eval_matches_single_device():
                 rtol=1e-4,
                 err_msg=f"{setup.__name__}:{k}",
             )
+
+
+def test_dp_scan_step_matches_sequential():
+    """DP scan variant (K steps per dispatch inside shard_map) == K
+    sequential DP steps: same losses, same final params."""
+    from bert4clickpath_tpu.data.cloze import stack_batches
+
+    mesh, ds, vocab, cfg = _parity_head_setup()
+    model = ClickstreamModel(cfg)
+    it = ds.train_batches(8, seed=0)
+    host = [next(it) for _ in range(3)]
+    b0 = _device_batch(host[0])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"]
+    )
+    tx = make_optimizer(TrainConfig())
+    rng = jax.random.PRNGKey(1)
+
+    seq = spmd.make_dp_train_step(model, mesh, tx, schedules.constant(1e-2))
+    state = spmd.replicate_state(
+        TrainState.create(jax.tree.map(jnp.copy, variables), tx), mesh
+    )
+    seq_losses = []
+    for hb in host:
+        state, loss = seq(state, spmd.shard_batch(_device_batch(hb), mesh, cfg), rng)
+        seq_losses.append(float(loss))
+    seq_state = state
+
+    scan = spmd.make_dp_train_step(
+        model, mesh, tx, schedules.constant(1e-2), steps_per_call=3
+    )
+    stacked = spmd.shard_stacked_batch(
+        {
+            "features": {
+                k: np.stack([hb.features[k] for hb in host])
+                for k in host[0].features
+            },
+            "head_positions": np.stack([hb.head_positions for hb in host]),
+            "labels": np.stack([hb.labels for hb in host]),
+        },
+        mesh,
+        cfg,
+    )
+    state2 = spmd.replicate_state(TrainState.create(variables, tx), mesh)
+    state2, losses = scan(state2, stacked, rng)
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    assert int(np.asarray(state2.step)) == 3
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        jax.device_get(state2.params),
+        jax.device_get(seq_state.params),
+    )
