@@ -238,12 +238,15 @@ def make_spmd_train_step(
     label_vocab_size: int,
     remat: bool = False,
     ema_decay: float = 0.0,
+    steps_per_call: int = 1,
 ):
     """Jitted sharded train step: (state, batch, rng) -> (state, loss).
 
     Requires head kind 'tied_softmax' and a single (item) sharded feature for
     the projection (the flagship large-catalog config). ema_decay > 0
-    maintains the EMA shadow (sharded like params).
+    maintains the EMA shadow (sharded like params). steps_per_call > 1
+    returns the scan variant over a (K, B, ...) stacked batch (one dispatch
+    per K steps; shard inputs with :func:`shard_stacked_batch`).
     """
     _check_spmd_supported(config)
     encoder = _encoder_module(config, remat)
@@ -330,7 +333,34 @@ def make_spmd_train_step(
             check_vma=False,
         )(state, batch, rng)
 
-    return jax.jit(sharded, donate_argnums=(0,))
+    if steps_per_call <= 1:
+        return jax.jit(sharded, donate_argnums=(0,))
+
+    # scan-inside-shard_map (same amortization as make_dp_train_step's
+    # scan variant): each device runs K steps over its slice of a
+    # (K, B, ...) stacked batch — shard with shard_stacked_batch
+    def sharded_scan(state, stacked, rng):
+        s_specs = state_specs(state, config)
+        stacked_specs = jax.tree.map(
+            lambda s: P(None, *s), batch_specs(config),
+            is_leaf=lambda x: isinstance(x, P),
+        )
+
+        def scanned(state, batches, rng):
+            def body(carry, b):
+                return step(carry, b, rng)
+
+            return jax.lax.scan(body, state, batches)
+
+        return jax.shard_map(
+            scanned,
+            mesh=mesh,
+            in_specs=(s_specs, stacked_specs, P()),
+            out_specs=(s_specs, P()),
+            check_vma=False,
+        )(state, stacked, rng)
+
+    return jax.jit(sharded_scan, donate_argnums=(0,))
 
 
 def make_spmd_eval_step(

@@ -951,3 +951,58 @@ def test_dp_scan_step_matches_sequential():
         jax.device_get(state2.params),
         jax.device_get(seq_state.params),
     )
+
+
+def test_spmd_scan_step_matches_sequential():
+    """SPMD (vocab-sharded fused-CE) scan variant == K sequential steps."""
+    mesh, ds, vocab, cfg = _spmd_setup()
+    it = ds.train_batches(8, seed=0)
+    host = [next(it) for _ in range(3)]
+    b0 = _device_batch(host[0])
+    model = ClickstreamModel(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"]
+    )["params"]
+    tx = make_optimizer(TrainConfig())
+    rng = jax.random.PRNGKey(1)
+
+    seq = spmd.make_spmd_train_step(
+        cfg, mesh, tx, schedules.constant(1e-2), vocab.label_vocab_size
+    )
+    state = spmd.shard_state(
+        TrainState.create(jax.tree.map(jnp.copy, params), tx), mesh, cfg
+    )
+    seq_losses = []
+    for hb in host:
+        state, loss = seq(
+            state, spmd.shard_batch(_device_batch(hb), mesh, cfg), rng
+        )
+        seq_losses.append(float(loss))
+    seq_state = state
+
+    scan = spmd.make_spmd_train_step(
+        cfg, mesh, tx, schedules.constant(1e-2), vocab.label_vocab_size,
+        steps_per_call=3,
+    )
+    stacked = spmd.shard_stacked_batch(
+        {
+            "features": {
+                k: np.stack([hb.features[k] for hb in host])
+                for k in host[0].features
+            },
+            "head_positions": np.stack([hb.head_positions for hb in host]),
+            "labels": np.stack([hb.labels for hb in host]),
+        },
+        mesh,
+        cfg,
+    )
+    state2 = spmd.shard_state(TrainState.create(params, tx), mesh, cfg)
+    state2, losses = scan(state2, stacked, rng)
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        jax.device_get(state2.params),
+        jax.device_get(seq_state.params),
+    )
