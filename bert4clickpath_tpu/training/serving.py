@@ -26,6 +26,15 @@ from bert4clickpath_tpu.training import checkpoint as ckpt_lib
 from bert4clickpath_tpu.vocab import Vocabulary
 
 
+def _bucket(b: int) -> int:
+    """Next power-of-two batch bucket (min 1) so request sizes map onto a
+    small, reused set of compiled shapes."""
+    out = 1
+    while out < b:
+        out *= 2
+    return out
+
+
 class ServingModel:
     """Load an exported bundle and score item sequences from raw strings."""
 
@@ -180,11 +189,17 @@ class ServingModel:
                         f"{self._item_feature!r} has {lens[i]}"
                     )
 
-        positions = np.zeros((b, 1), np.int32)  # only the [MASK] slot scores
+        # bucket the batch dimension so arbitrary request sizes reuse a
+        # handful of compiled programs (static shapes: every distinct B
+        # would otherwise trigger a fresh XLA compile); padded rows are
+        # all-PAD sessions whose results are sliced off below
+        bp = _bucket(b)
+        positions = np.zeros((bp, 1), np.int32)  # only the [MASK] slot scores
+        positions[:, 0] = ITEM_OFFSET  # pad rows: score the (inert) slot 2
         feats = {}
         for f in names:
             vf = self.vocabs[f]
-            tokens = np.full((b, token_length(max_items)), PAD_ID, np.int32)
+            tokens = np.full((bp, token_length(max_items)), PAD_ID, np.int32)
             tokens[:, 0] = CLS_ID
             tokens[:, 1] = SEP_ID
             tokens[:, -1] = SEP_ID
@@ -205,7 +220,7 @@ class ServingModel:
         scores, idx = self._topk(
             self.params, table, bias, feats, jnp.asarray(positions), k
         )
-        scores, idx = np.asarray(scores), np.asarray(idx)
+        scores, idx = np.asarray(scores)[:b], np.asarray(idx)[:b]
         results = [
             [(vocab.decode_label(int(idx[i, j])), float(scores[i, j])) for j in range(k)]
             for i in range(b)

@@ -652,3 +652,27 @@ def test_trainer_steps_per_call(tmp_path):
         )
     with pytest.raises(ValueError):  # missing stack_batches
         Trainer(lambda *a: None, lambda *a: None, tcfg, steps_per_call=2)
+
+
+def test_serving_batch_bucketing(tmp_path):
+    """Odd request sizes pad to a power-of-two bucket (shape reuse across
+    requests); padded rows never leak into results and scores match the
+    per-session results exactly."""
+    ds, vocab, cfg, model = _setup("tied_softmax")
+    b0 = _to_device(next(ds.train_batches(8, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"]
+    )
+    export_dir = ckpt_lib.export_serving(
+        str(tmp_path / "export"), jax.device_get(params), cfg, {"items": vocab}
+    )
+    served = ServingModel(export_dir)
+    sessions = [["item_0"], ["item_1", "item_2"], ["item_3"]]  # b=3 -> bucket 4
+    recs = served.recommend(sessions, k=5)
+    assert len(recs) == 3
+    for i, s in enumerate(sessions):
+        single = served.recommend([s], k=5)[0]
+        assert [n for n, _ in single] == [n for n, _ in recs[i]]
+        np.testing.assert_allclose(
+            [v for _, v in single], [v for _, v in recs[i]], rtol=1e-5
+        )
