@@ -164,6 +164,30 @@ def main(argv=None):
         ),
         jax.random.PRNGKey(2),
     )
+
+    # export + serve the paired-feature model: dict sessions, [MASK] on the
+    # item feature and [NA] on the event feature at the appended next-item
+    # slot (training/serving.py multi-variable contract)
+    from bert4clickpath_tpu.training import checkpoint as ckpt_lib
+    from bert4clickpath_tpu.training.serving import ServingModel
+
+    export_dir = ckpt_lib.export_serving(
+        os.path.join(args.model_dir, "export"),
+        jax.device_get(state.params),
+        cfg,
+        {"items": item_vocab, "events": event_vocab},
+    )
+    served = ServingModel(export_dir)
+    recs = served.recommend(
+        [
+            {
+                "items": [item_vocab.decode_label(i) for i in (0, 1, 2)],
+                "events": [event_vocab.decode_label(0)] * 3,
+            }
+        ],
+        k=5,
+    )
+    print("serving top-5:", [(n, round(s, 3)) for n, s in recs[0]], flush=True)
     print("done", flush=True)
 
 

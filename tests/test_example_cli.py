@@ -155,3 +155,22 @@ def test_train_cli_dp_scan(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "DP scan train step: 2 steps/dispatch" in out.stdout
     assert "done" in out.stdout
+
+
+def test_multivariable_cli_serves(tmp_path):
+    """(action, item) example trains, exports, and serves dict sessions."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "bert4rec", "multivariable.py"),
+            "--model_dir", str(tmp_path / "mv"),
+            "--epochs", "2", "--n_sessions", "400", "--n_items", "60",
+            "--max_items", "12",
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "serving top-5:" in out.stdout
+    assert "done" in out.stdout
