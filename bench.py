@@ -75,23 +75,18 @@ def main():
     ds = ClozeDataset(items, vocab, max_items=50)
     it = ds.train_batches(BATCH, seed=0)
     host = [next(it) for _ in range(8)]
-    batches = []
-    for b in host:
-        batches.append(
-            {
-                "features": {k: jnp.asarray(v) for k, v in b.features.items()},
-                "head_positions": jnp.asarray(b.head_positions),
-                "labels": jnp.asarray(b.labels),
-            }
-        )
+
+    def to_dev(b):
+        return {
+            "features": {k: jnp.asarray(v) for k, v in b.features.items()},
+            "head_positions": jnp.asarray(b.head_positions),
+            "labels": jnp.asarray(b.labels),
+        }
+
+    batches = [to_dev(b) for b in host]
     # the driver's default training mode: one lax.scan dispatch per STEPS
     # steps, batches resident on device (cycled copies of the 8 host batches)
-    stacked_host = stack_batches([host[i % len(host)] for i in range(STEPS)])
-    stacked = {
-        "features": {k: jnp.asarray(v) for k, v in stacked_host.features.items()},
-        "head_positions": jnp.asarray(stacked_host.head_positions),
-        "labels": jnp.asarray(stacked_host.labels),
-    }
+    stacked = to_dev(stack_batches([host[i % len(host)] for i in range(STEPS)]))
 
     tcfg = TrainConfig(batch_size=BATCH)
     params = model.init(

@@ -184,6 +184,13 @@ class TrainConfig:
     monitor: str = "auto"
     monitor_mode: str = "auto"  # resolved with "auto"; else "min" | "max"
     seed: int = 0
+    log_every: int = 50  # steps
+    remat: bool = False  # jax.checkpoint the encoder layers
+    # EMA of params for eval/export (0 disables). Polyak averaging is a
+    # standard production-recsys quality lever the reference lacks; the
+    # shadow is updated in the train step and ranked/exported instead of
+    # the raw params (training/train_state.py:eval_params).
+    ema_decay: float = 0.0
 
     def __post_init__(self):
         if self.monitor == "auto" and self.monitor_mode != "auto":
@@ -196,13 +203,6 @@ class TrainConfig:
             )
         if self.monitor_mode not in ("auto", "min", "max"):
             raise ValueError(f"monitor_mode {self.monitor_mode!r}")
-    log_every: int = 50  # steps
-    remat: bool = False  # jax.checkpoint the encoder layers
-    # EMA of params for eval/export (0 disables). Polyak averaging is a
-    # standard production-recsys quality lever the reference lacks; the
-    # shadow is updated in the train step and ranked/exported instead of
-    # the raw params (training/train_state.py:eval_params).
-    ema_decay: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -333,8 +334,6 @@ def tied_bias_model_space(bias: jnp.ndarray, rows: int) -> jnp.ndarray:
     """(rows,) model-space bias: the (V_label,) ``tied_out_bias`` placed at
     the reserved-token offset; reserved/OOV/padding rows stay 0 (those rows
     are blinded by every consumer anyway)."""
-    import jax
-
     return jax.lax.dynamic_update_slice(
         jnp.zeros((rows,), bias.dtype), bias, (NUM_RESERVED_TOKENS,)
     )

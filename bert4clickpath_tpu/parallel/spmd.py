@@ -217,6 +217,40 @@ def _forward_gathered(
     return gathered.astype(jnp.float32), table_shard
 
 
+def stacked_batch_specs(config: ModelConfig):
+    """batch_specs with a leading unsharded (K,) scan axis."""
+    return jax.tree.map(
+        lambda s: P(None, *s), batch_specs(config),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def _scan_sharded(step, mesh: Mesh, state_specs_fn, config: ModelConfig):
+    """scan-inside-shard_map: each device runs K steps over its slice of a
+    (K, B, ...) stacked batch (shard with :func:`shard_stacked_batch`) in
+    ONE dispatch — per-step collectives run inside the scan body. Shared by
+    the SPMD and DP scan variants."""
+
+    def sharded_scan(state, stacked, rng):
+        s_specs = state_specs_fn(state)
+
+        def scanned(state, batches, rng):
+            def body(carry, b):
+                return step(carry, b, rng)
+
+            return jax.lax.scan(body, state, batches)
+
+        return jax.shard_map(
+            scanned,
+            mesh=mesh,
+            in_specs=(s_specs, stacked_batch_specs(config), P()),
+            out_specs=(s_specs, P()),
+            check_vma=False,
+        )(state, stacked, rng)
+
+    return jax.jit(sharded_scan, donate_argnums=(0,))
+
+
 def _tied_bias_model_space(config: ModelConfig, params) -> jnp.ndarray:
     """The replicated (V_label,) ``tied_out_bias`` on model-space rows.
 
@@ -335,32 +369,7 @@ def make_spmd_train_step(
 
     if steps_per_call <= 1:
         return jax.jit(sharded, donate_argnums=(0,))
-
-    # scan-inside-shard_map (same amortization as make_dp_train_step's
-    # scan variant): each device runs K steps over its slice of a
-    # (K, B, ...) stacked batch — shard with shard_stacked_batch
-    def sharded_scan(state, stacked, rng):
-        s_specs = state_specs(state, config)
-        stacked_specs = jax.tree.map(
-            lambda s: P(None, *s), batch_specs(config),
-            is_leaf=lambda x: isinstance(x, P),
-        )
-
-        def scanned(state, batches, rng):
-            def body(carry, b):
-                return step(carry, b, rng)
-
-            return jax.lax.scan(body, state, batches)
-
-        return jax.shard_map(
-            scanned,
-            mesh=mesh,
-            in_specs=(s_specs, stacked_specs, P()),
-            out_specs=(s_specs, P()),
-            check_vma=False,
-        )(state, stacked, rng)
-
-    return jax.jit(sharded_scan, donate_argnums=(0,))
+    return _scan_sharded(step, mesh, lambda st: state_specs(st, config), config)
 
 
 def make_spmd_eval_step(
@@ -565,47 +574,17 @@ def make_dp_train_step(
 
     if steps_per_call <= 1:
         return jax.jit(sharded, donate_argnums=(0,))
-
-    # scan-inside-shard_map: each device runs K steps over its slice of a
-    # (K, B, ...) stacked batch in ONE dispatch; the per-step psums become
-    # collectives inside the scan body. Same amortization as the
-    # single-device make_scan_train_step, composed with DP.
-    def stacked_specs():
-        return jax.tree.map(
-            lambda s: P(None, *s), batch_specs(model.config),
-            is_leaf=lambda x: isinstance(x, P),
-        )
-
-    def sharded_scan(state, stacked, rng):
-        r_specs = jax.tree.map(lambda _: P(), state)
-
-        def scanned(state, batches, rng):
-            def body(carry, b):
-                return step(carry, b, rng)
-
-            return jax.lax.scan(body, state, batches)
-
-        return jax.shard_map(
-            scanned,
-            mesh=mesh,
-            in_specs=(r_specs, stacked_specs(), P()),
-            out_specs=(r_specs, P()),
-            check_vma=False,
-        )(state, stacked, rng)
-
-    return jax.jit(sharded_scan, donate_argnums=(0,))
+    return _scan_sharded(
+        step, mesh, lambda st: jax.tree.map(lambda _: P(), st), model.config
+    )
 
 
 def shard_stacked_batch(batch: dict, mesh: Mesh, config: ModelConfig) -> dict:
     """Place a (K, B, ...) stacked batch with rows sharded over 'data'."""
-    specs = jax.tree.map(
-        lambda s: P(None, *s), batch_specs(config),
-        is_leaf=lambda x: isinstance(x, P),
-    )
     return jax.tree.map(
         lambda x, s: jax.device_put(jnp.asarray(x), NamedSharding(mesh, s)),
         batch,
-        specs,
+        stacked_batch_specs(config),
     )
 
 

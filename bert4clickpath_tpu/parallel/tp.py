@@ -62,26 +62,30 @@ def _names(path) -> list[str]:
     return [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
 
 
+def _tp_spec(names: list) -> P:
+    """Spec for one param path: column-parallel kernels split their output
+    dim (bias splits with it), row-parallel kernels split their input dim
+    (bias replicated — outputs are partial sums until the all-reduce)."""
+    if "encoder" not in names:
+        return P()
+    for mod in _COL_PARALLEL:
+        if mod in names:
+            if "kernel" in names:
+                return P(None, MODEL_AXIS)
+            if "bias" in names:
+                return P(MODEL_AXIS)
+    for mod in _ROW_PARALLEL:
+        if mod in names and "kernel" in names:
+            return P(MODEL_AXIS, None)
+    return P()
+
+
 def tp_param_specs(params, config: ModelConfig):
     """PartitionSpec tree: encoder QKV/FFN kernels sharded over 'model',
     everything else replicated."""
-
-    def spec(path, leaf):
-        names = _names(path)
-        if "encoder" not in names:
-            return P()
-        for mod in _COL_PARALLEL:
-            if mod in names:
-                if "kernel" in names:
-                    return P(None, MODEL_AXIS)
-                if "bias" in names:
-                    return P(MODEL_AXIS)
-        for mod in _ROW_PARALLEL:
-            if mod in names and "kernel" in names:
-                return P(MODEL_AXIS, None)
-        return P()
-
-    return jax.tree_util.tree_map_with_path(spec, params)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _tp_spec(_names(path)), params
+    )
 
 
 def tp_state_specs(state: TrainState, config: ModelConfig) -> TrainState:
@@ -91,17 +95,10 @@ def tp_state_specs(state: TrainState, config: ModelConfig) -> TrainState:
     p_spec = tp_param_specs(state.params, config)
 
     def opt_spec(path, leaf):
-        names = _names(path)
-        if "encoder" in names and getattr(leaf, "ndim", 0) >= 1:
-            for mod in _COL_PARALLEL:
-                if mod in names:
-                    if "kernel" in names:
-                        return P(None, MODEL_AXIS)
-                    if "bias" in names:
-                        return P(MODEL_AXIS)
-            for mod in _ROW_PARALLEL:
-                if mod in names and "kernel" in names:
-                    return P(MODEL_AXIS, None)
+        # optax state trees mirror the params tree, so the same path rule
+        # applies; scalars (e.g. the Adam step count) stay replicated
+        if getattr(leaf, "ndim", 0) >= 1:
+            return _tp_spec(_names(path))
         return P()
 
     o_spec = jax.tree_util.tree_map_with_path(opt_spec, state.opt_state)

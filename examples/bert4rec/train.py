@@ -307,7 +307,21 @@ def main(argv=None):
     n_dev = len(jax.devices())
     use_dp = args.parallel == "dp" or (args.parallel == "auto" and n_dev > 1)
     batch_to_device = to_device
-    spc, stack_batches = 1, None
+    # scan multi-step resolution, shared by both paths
+    spc, stack_batches = args.steps_per_call, None
+    if spc < 0:  # auto: amortize the tunnel's per-dispatch RPC cost
+        spc = steps_per_epoch if jax.default_backend() != "cpu" else 1
+    elif spc > 1 and steps_per_epoch % spc:
+        # an explicit request that can't be honored is an error, not a
+        # silent fallback to per-step dispatch
+        raise SystemExit(
+            f"--steps_per_call {spc} does not divide steps_per_epoch "
+            f"{steps_per_epoch}"
+        )
+    if spc > 1:
+        from bert4clickpath_tpu.data.cloze import stack_batches as _stack
+
+        stack_batches = _stack
     if use_dp:
         # all local devices, data-parallel — the reference trained its only
         # model under MirroredStrategy whenever >1 GPU was present
@@ -324,18 +338,7 @@ def main(argv=None):
             )
         mesh = make_mesh(MeshConfig(data=n_dev, model=1))
         state = spmd.replicate_state(state, mesh)
-        spc = args.steps_per_call
-        if spc < 0:  # auto, same policy as the single-device path
-            spc = steps_per_epoch if jax.default_backend() != "cpu" else 1
-        elif spc > 1 and steps_per_epoch % spc:
-            raise SystemExit(
-                f"--steps_per_call {spc} does not divide steps_per_epoch "
-                f"{steps_per_epoch}"
-            )
         if spc > 1:
-            from bert4clickpath_tpu.data.cloze import stack_batches as _stack
-
-            stack_batches = _stack
             print(f"DP scan train step: {spc} steps/dispatch", flush=True)
         train_step = spmd.make_dp_train_step(
             model, mesh, tx, schedule,
@@ -382,7 +385,6 @@ def main(argv=None):
             )
             print(f"scan train step: {spc} steps/dispatch", flush=True)
         else:
-            spc = 1
             train_step = make_train_step(
                 model,
                 tx,
