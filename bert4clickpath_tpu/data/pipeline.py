@@ -147,14 +147,14 @@ class ClozeDataset:
                 return
             if use_native:
                 idx = np.arange(start, min(start + per_host_batch, n), dtype=np.int64)
-                tokens, positions, labels = native_eval_batch(
-                    values, offsets, idx, self.max_items, self.max_masked
-                )
                 # width-1 slots, matching make_eval_batch: leave-one-out
                 # scores one position per user; wider batches multiply the
                 # eval forward + catalog-scan cost by max_masked for nothing
+                tokens, positions, labels = native_eval_batch(
+                    values, offsets, idx, self.max_items, 1
+                )
                 batch = ClozeBatch(
-                    {self.feature_name: tokens}, positions[:, :1], labels[:, :1]
+                    {self.feature_name: tokens}, positions, labels
                 )
             else:
                 chunk = self.sequences[start : start + per_host_batch]

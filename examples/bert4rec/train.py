@@ -358,23 +358,10 @@ def main(argv=None):
 
         print(f"data-parallel over {n_dev} devices", flush=True)
     else:
-        spc = args.steps_per_call
-        if spc < 0:  # auto: amortize the tunnel's per-dispatch RPC cost
-            spc = steps_per_epoch if jax.default_backend() != "cpu" else 1
-        elif spc > 1 and steps_per_epoch % spc:
-            # an explicit request that can't be honored is an error, not a
-            # silent fallback to per-step dispatch
-            raise SystemExit(
-                f"--steps_per_call {spc} does not divide steps_per_epoch "
-                f"{steps_per_epoch}"
-            )
         if spc > 1:
-            from bert4clickpath_tpu.data.cloze import stack_batches as _stack
             from bert4clickpath_tpu.training.train_state import (
                 make_scan_train_step,
             )
-
-            stack_batches = _stack
 
             train_step = make_scan_train_step(
                 model,
