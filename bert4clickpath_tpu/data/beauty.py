@@ -14,9 +14,43 @@ filtering (>=5) is already applied inside beauty.txt.
 
 from __future__ import annotations
 
+import gzip
+import json
+from typing import Iterable, Tuple
+
 import numpy as np
 
 from bert4clickpath_tpu.vocab import Vocabulary
+
+
+def _pairs_to_sequences(
+    pairs: Iterable[Tuple[str, str]],
+    max_seq_len: int,
+    min_feedback: int = 0,
+) -> tuple[list[np.ndarray], Vocabulary]:
+    """(user, item) stream in interaction order -> per-user sequences + vocab.
+
+    Shared tail of both loaders (data_prep/main.py:57-83): first-``max_seq_len``
+    truncation per user (groupby cumcount < MAX_SEQ_LEN, main.py:69-70),
+    first-appearance vocabulary over the *truncated* interactions
+    (pd.unique, main.py:74), optional post-truncation min-length filter.
+    """
+    user_items: dict[str, list[str]] = {}
+    kept_stream: list[str] = []  # truncated interactions, stream order
+    for user, item in pairs:
+        lst = user_items.setdefault(user, [])
+        if len(lst) < max_seq_len:
+            lst.append(item)
+            kept_stream.append(item)
+    if min_feedback:
+        user_items = {u: s for u, s in user_items.items() if len(s) >= min_feedback}
+        kept_stream = [i for s in user_items.values() for i in s]
+    # first appearance in the truncated *stream* order, matching pd.unique
+    # over the row-ordered frame (main.py:74) — for time-sorted input this
+    # differs from per-user grouping order
+    vocab = Vocabulary.from_corpus(kept_stream)
+    sequences = [vocab.encode_labels(items) for items in user_items.values()]
+    return sequences, vocab
 
 
 def load_beauty(
@@ -30,21 +64,56 @@ def load_beauty(
     order; shift by NUM_RESERVED_TOKENS for model space
     (Vocabulary.label_to_model).
     """
-    user_items: dict[str, list[str]] = {}
-    with open(path, "r") as f:
+    def pairs():
+        with open(path, "r") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) == 2:
+                    yield parts[0], parts[1]
+
+    return _pairs_to_sequences(pairs(), max_seq_len, min_feedback)
+
+
+def load_amazon_json(
+    path: str,
+    min_item_per_user: int = 5,
+    max_seq_len: int = 50,
+) -> tuple[list[np.ndarray], Vocabulary]:
+    """Raw Amazon reviews json.gz -> per-user sequences + item vocabulary.
+
+    The reference's advertised entry point for starting from the actual
+    Amazon dumps (https://jmcauley.ucsd.edu/data/amazon/):
+    ``read_raw_amazon_data`` at data_prep/main.py:9-42 — gzip JSON-lines
+    parse keeping {reviewerID, asin, unixReviewTime}, drop users with fewer
+    than ``min_item_per_user`` total reviews (count over the *unfiltered*
+    stream, transform('count').ge, main.py:36-38), then order all
+    interactions globally by ``unixReviewTime`` and drop the time column
+    (main.py:40). One deliberate divergence: the sort is *stable* (the
+    reference used pandas' default quicksort, so same-timestamp order — the
+    common case with Amazon's day-resolution times — was arbitrary there;
+    here it is file order, making runs reproducible). Truncation/vocab then
+    follow the shared beauty.txt tail (main.py:57-83).
+    """
+    users: list[str] = []
+    items: list[str] = []
+    times: list[int] = []
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
         for line in f:
-            parts = line.split()
-            if len(parts) != 2:
+            if not line.strip():
                 continue
-            user, item = parts
-            lst = user_items.setdefault(user, [])
-            if len(lst) < max_seq_len:  # first-N truncation, data_prep/main.py:69-70
-                lst.append(item)
-    if min_feedback:
-        user_items = {u: s for u, s in user_items.items() if len(s) >= min_feedback}
-    # First-appearance vocab over truncated interactions (data_prep/main.py:74)
-    vocab = Vocabulary.from_corpus(
-        item for items in user_items.values() for item in items
+            rec = json.loads(line)
+            users.append(str(rec["reviewerID"]))
+            items.append(str(rec["asin"]))
+            times.append(int(rec["unixReviewTime"]))
+    if min_item_per_user:
+        counts: dict[str, int] = {}
+        for u in users:
+            counts[u] = counts.get(u, 0) + 1
+        keep = [i for i, u in enumerate(users) if counts[u] >= min_item_per_user]
+    else:
+        keep = range(len(users))
+    order = sorted(keep, key=lambda i: times[i])  # stable: ties keep file order
+    return _pairs_to_sequences(
+        ((users[i], items[i]) for i in order), max_seq_len, min_feedback=0
     )
-    sequences = [vocab.encode_labels(items) for items in user_items.values()]
-    return sequences, vocab

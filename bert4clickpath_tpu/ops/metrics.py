@@ -86,6 +86,37 @@ def binary_stats(
     }
 
 
+def masked_metric(fn, name: str):
+    """Turn any per-position metric fn into a pad-masked streaming stat.
+
+    The functional analogue of the reference's generic ``MaskedMetric``
+    Keras wrapper (metrics.py:89-106), which forwarded ``labels != LABEL_PAD``
+    as the inner metric's sample_weight. Here ``fn(logits, labels) -> (B, P)``
+    per-position values; padded positions are zeroed and the masked sum is
+    emitted as ``{name}_sum`` alongside ``n``, so the result accumulates with
+    :func:`merge` / :func:`psum_stats` and reads out via :func:`finalize`
+    exactly like the built-in stats.
+
+        top3 = masked_metric(
+            lambda lg, lb: (jnp.argsort(-lg, -1)[..., :3] == lb[..., None]).any(-1),
+            "top3_acc",
+        )
+        stats = top3(logits, labels)   # {"n": ..., "top3_acc_sum": ...}
+    """
+
+    def stats_fn(logits: jnp.ndarray, labels: jnp.ndarray) -> dict:
+        mask = _mask(labels)
+        vals = jnp.asarray(fn(logits, labels), jnp.float32)
+        if vals.shape != labels.shape:
+            raise ValueError(
+                f"metric fn for {name!r} returned shape {vals.shape}; "
+                f"expected per-position values of shape {labels.shape}"
+            )
+        return {"n": jnp.sum(mask), f"{name}_sum": jnp.sum(vals * mask)}
+
+    return stats_fn
+
+
 def merge(*stats: Mapping[str, jnp.ndarray]) -> dict:
     """Elementwise-add accumulators (host or device side)."""
     out = dict(stats[0])

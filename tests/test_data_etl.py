@@ -184,3 +184,84 @@ def test_packed_dataset_2d_width_mismatch_raises(tmp_path):
     bad = [np.zeros((2, 3)), np.zeros((1, 4))]
     with pytest.raises(ValueError):
         etl.write_packed_dataset({"x": bad}, str(tmp_path))
+
+
+def test_amazon_json_loader(tmp_path):
+    """Reference read_raw_amazon_data semantics (data_prep/main.py:9-42):
+    gzip JSON-lines, min_item_per_user on pre-truncation counts, global
+    unixReviewTime sort (stable on ties), then the shared truncate+vocab tail.
+    """
+    import gzip
+    import json
+
+    import numpy as np
+
+    from bert4clickpath_tpu.data.beauty import load_amazon_json
+
+    recs = [
+        # u1: 3 reviews, out of time order in the file
+        {"reviewerID": "u1", "asin": "b", "unixReviewTime": 200, "extra": 1},
+        {"reviewerID": "u1", "asin": "a", "unixReviewTime": 100},
+        {"reviewerID": "u1", "asin": "c", "unixReviewTime": 300},
+        # u2: only 1 review -> dropped by min_item_per_user=2
+        {"reviewerID": "u2", "asin": "z", "unixReviewTime": 50},
+        # u3: 2 reviews sharing a timestamp -> stable sort keeps file order
+        {"reviewerID": "u3", "asin": "d", "unixReviewTime": 150},
+        {"reviewerID": "u3", "asin": "e", "unixReviewTime": 150},
+    ]
+    p = tmp_path / "reviews.json.gz"
+    with gzip.open(p, "wt") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+    seqs, vocab = load_amazon_json(str(p), min_item_per_user=2, max_seq_len=50)
+    decoded = {
+        tuple(vocab.decode_label(i) for i in s) for s in map(np.asarray, seqs)
+    }
+    # u2 filtered out; u1 time-ordered a,b,c; u3 tie keeps file order d,e
+    assert decoded == {("a", "b", "c"), ("d", "e")}
+    # first-appearance vocab over the time-sorted stream: a(100) d(150) e(150)
+    # b(200) c(300)
+    assert vocab.tokens == ["a", "d", "e", "b", "c"]
+
+    # first-N truncation happens after the time sort
+    seqs2, _ = load_amazon_json(str(p), min_item_per_user=2, max_seq_len=2)
+    lens = sorted(len(s) for s in seqs2)
+    assert lens == [2, 2]
+
+
+def test_prepare_data_amazon_json_cli(tmp_path):
+    import gzip
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.bert4rec.prepare_data import main as prep_main
+
+    p = tmp_path / "reviews.json.gz"
+    with gzip.open(p, "wt") as f:
+        for i in range(12):
+            f.write(
+                json.dumps(
+                    {
+                        "reviewerID": f"u{i % 3}",
+                        "asin": f"item{i % 5}",
+                        "unixReviewTime": 1000 + i,
+                    }
+                )
+                + "\n"
+            )
+    out = tmp_path / "prepared"
+    prep_main(
+        [
+            "--input", str(p), "--format", "amazon_json",
+            "--min_item_per_user", "2", "--output", str(out),
+            "--records_per_shard", "2",
+        ]
+    )
+    assert (out / "vocabs" / "item_vocab.txt").exists()
+    from bert4clickpath_tpu.data import etl
+
+    seqs = list(etl.read_packed(str(out / "sequences_*.npz")))
+    assert len(seqs) == 3  # u0,u1,u2 all have >=2 reviews

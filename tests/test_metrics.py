@@ -80,3 +80,33 @@ def test_masked_accuracy():
         {k: np.asarray(v) for k, v in M.masked_accuracy_stats(logits, labels).items()}
     )
     assert stats["accuracy"] == 0.5
+
+
+def test_masked_metric_generic_wrapper():
+    """masked_metric turns a user fn into a pad-masked stat (reference
+    MaskedMetric, metrics.py:89-106: mask = labels != LABEL_PAD forwarded as
+    sample_weight)."""
+    import jax.numpy as jnp
+
+    from bert4clickpath_tpu.constants import LABEL_PAD
+    from bert4clickpath_tpu.ops.metrics import finalize, masked_metric, merge
+
+    top1 = masked_metric(
+        lambda lg, lb: (jnp.argmax(lg, -1) == lb).astype(jnp.float32), "top1"
+    )
+    logits = jnp.asarray(
+        [[[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]], [[0.0, 0.0, 1.0], [0.5, 0.4, 0.1]]]
+    )
+    labels = jnp.asarray([[1, LABEL_PAD], [2, 0]])  # pad position must not count
+    stats = top1(logits, labels)
+    assert float(stats["n"]) == 3.0
+    out = finalize(merge(stats, stats))
+    assert out["top1"] == 1.0  # all non-pad predictions correct, pad ignored
+
+    # wrong-shaped user fn is an error, not a silent broadcast
+    bad = masked_metric(lambda lg, lb: lg, "bad")
+    try:
+        bad(logits, labels)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
