@@ -56,9 +56,16 @@ def main(argv=None):
     p.add_argument("--dropout_impl", default="xla", choices=["xla", "pallas"])
     p.add_argument("--embed_impl", default="xla", choices=["xla", "pallas"])
     p.add_argument("--mu_dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--qkv_fused", action="store_true")
+    p.add_argument("--ce_row_tile", type=int, default=0, help="fused-CE Tn override")
+    p.add_argument("--ce_vocab_tile", type=int, default=0, help="fused-CE Tv override")
     p.add_argument("--logdir", default="/tmp/profile_step")
     p.add_argument("--top", type=int, default=30)
     args = p.parse_args(argv)
+    if args.ce_row_tile:
+        os.environ["B4CP_CE_ROW_TILE"] = str(args.ce_row_tile)
+    if args.ce_vocab_tile:
+        os.environ["B4CP_CE_VOCAB_TILE"] = str(args.ce_vocab_tile)
 
     gen = ClickStreamGenerator(n_items=N_ITEMS, session_cohesiveness=200, seed=0)
     vocab = gen.item_vocab()
@@ -73,6 +80,7 @@ def main(argv=None):
         max_len=53,
         head=HeadConfig("tied_softmax", output_size=vocab.label_vocab_size),
         dtype="bfloat16" if jax.default_backend() == "tpu" else "float32",
+        qkv_fused=args.qkv_fused,
     )
     model = ClickstreamModel(
         cfg,
@@ -131,7 +139,8 @@ def main(argv=None):
     ]
     print(
         f"\nconfig: attn={args.attn_impl} dropout_impl={args.dropout_impl} "
-        f"embed={args.embed_impl} mu={args.mu_dtype} B={args.batch}"
+        f"embed={args.embed_impl} mu={args.mu_dtype} qkv_fused={args.qkv_fused} "
+        f"ce_tiles=({args.ce_row_tile},{args.ce_vocab_tile}) B={args.batch}"
     )
     print(f"wall: {wall * 1e3:.2f} ms/step   device plane total: {device_total:.2f} ms/step")
     print(f"{'device ms/step':>14s}  kernel")

@@ -105,6 +105,12 @@ class ModelConfig:
     # catalogs — the table is ~80% of flagship params) from encoder width;
     # the tied head's width-matching projection maps back to table space.
     encoder_dim: int = 0
+    # Fused (D, 3D) QKV projection: one MXU matmul instead of three D-wide
+    # ones per attention block (narrow-N matmuls under-fill the MXU at
+    # d_model=256). Changes the parameter tree (wqkv replaces wq/wk/wv), so
+    # it is an architecture field, not an impl switch. Not supported by the
+    # tensor-parallel tier (its column-split specs are per-projection).
+    qkv_fused: bool = False
 
     def __post_init__(self):
         if self.routing not in ("mask", "segment"):

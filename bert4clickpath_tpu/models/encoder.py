@@ -100,6 +100,9 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"  # "xla" | "pallas"
+    # single (D, 3D) projection instead of three (D, D) ones — better MXU
+    # fill at narrow d_model; param tree changes (wqkv), see ModelConfig
+    qkv_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bias: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -109,7 +112,15 @@ class MultiHeadAttention(nn.Module):
             self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )
         b, l, _ = x.shape
-        qf, kf, vf = dense("wq")(x), dense("wk")(x), dense("wv")(x)  # (B, L, D)
+        if self.qkv_fused:
+            qkv = nn.Dense(
+                3 * self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
+                name="wqkv",
+            )(x)
+            d = self.d_model
+            qf, kf, vf = qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :]
+        else:
+            qf, kf, vf = dense("wq")(x), dense("wk")(x), dense("wv")(x)  # (B, L, D)
         if self.attn_impl == "pallas":
             from bert4clickpath_tpu.ops.pallas.attention import (
                 flash_attention,
@@ -165,11 +176,13 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     dropout_impl: str = "xla"
+    qkv_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bias, deterministic: bool) -> jnp.ndarray:
         attn = MultiHeadAttention(
-            self.d_model, self.num_heads, self.dtype, self.attn_impl, name="mha"
+            self.d_model, self.num_heads, self.dtype, self.attn_impl,
+            self.qkv_fused, name="mha",
         )(x, bias)
         attn = apply_dropout(
             self, attn, self.dropout_rate, deterministic, self.dropout_impl
@@ -195,6 +208,7 @@ class Encoder(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False
     dropout_impl: str = "xla"
+    qkv_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bias, deterministic: bool) -> jnp.ndarray:
@@ -211,6 +225,7 @@ class Encoder(nn.Module):
                 self.dtype,
                 self.attn_impl,
                 self.dropout_impl,
+                self.qkv_fused,
                 name=f"layer_{i}",
             )(x, bias, deterministic)
         return x

@@ -92,6 +92,7 @@ class ClickstreamModel(nn.Module):
             attn_impl=self.attn_impl,
             remat=self.remat,
             dropout_impl=self.dropout_impl,
+            qkv_fused=cfg.qkv_fused,
             name="encoder",
         )
         head = cfg.head

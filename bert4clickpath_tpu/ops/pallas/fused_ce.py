@@ -47,7 +47,19 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+import os
+
+# Chip-sweep overrides for the tile sizes (benchmarks/profile_step.py
+# --ce_row_tile/--ce_vocab_tile set these): honored only when they divide
+# the dimension, so a stale env var can never produce an invalid grid.
+_ROW_TILE_ENV = "B4CP_CE_ROW_TILE"
+_VOCAB_TILE_ENV = "B4CP_CE_VOCAB_TILE"
+
+
 def _row_tile(n: int) -> int:
+    t0 = int(os.environ.get(_ROW_TILE_ENV, "0"))
+    if t0 > 0 and n % t0 == 0:
+        return t0
     for t in (512, 256, 128, 64, 32, 16, 8):
         if n % t == 0:
             return t
@@ -64,6 +76,9 @@ def padded_rows(v: int) -> int:
 
 
 def _vocab_tile(v: int) -> int:
+    t0 = int(os.environ.get(_VOCAB_TILE_ENV, "0"))
+    if t0 >= 128 and v % t0 == 0:
+        return t0
     # 1024 keeps the (Tn, Tv) f32 score tile + double-buffered w tiles under
     # the 16MB VMEM budget with Tn=512.
     for t in (1024, 512, 256, 128):

@@ -136,6 +136,7 @@ def _encoder_module(config: ModelConfig, remat: bool = False) -> Encoder:
         dropout_rate=config.dropout_rate,
         dtype=dtype,
         remat=remat,
+        qkv_fused=config.qkv_fused,
     )
 
 

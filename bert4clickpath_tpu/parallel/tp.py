@@ -123,6 +123,11 @@ def _check_tp_supported(model, mesh: Mesh) -> None:
         raise ValueError(
             f"ffn_dim {cfg.ffn_dim} not divisible by model axis {shards}"
         )
+    if cfg.qkv_fused:
+        raise ValueError(
+            "tensor-parallel tier requires qkv_fused=False (column-split "
+            "specs are per-projection: wq/wk/wv)"
+        )
     if model.attn_impl == "pallas" or model.dropout_impl == "pallas" or (
         getattr(model, "embed_impl", "xla") == "pallas"
     ):

@@ -70,6 +70,7 @@ def build_model_config(preset: str, vocab, args) -> ModelConfig:
             positional="sinusoidal",
             head=HeadConfig("softmax", (1024, 512, 256, 128), vocab.label_vocab_size),
             dtype=args.dtype or ("bfloat16" if scaled else "float32"),
+            qkv_fused=args.qkv_fused,
         )
     if preset == "tpu":
         from bert4clickpath_tpu.parallel.spmd import padded_vocab_rows
@@ -100,6 +101,7 @@ def build_model_config(preset: str, vocab, args) -> ModelConfig:
                 tied_bias=args.tied_bias,
             ),
             dtype=args.dtype or "bfloat16",
+            qkv_fused=args.qkv_fused,
         )
     raise ValueError(preset)
 
@@ -157,6 +159,12 @@ def main(argv=None):
         help="tpu preset: comma dims for the tied-head transform (BERT-MLM style)",
     )
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--qkv_fused",
+        action="store_true",
+        help="single (D, 3D) QKV projection (better MXU fill at narrow "
+        "d_model; not supported by --parallel tp)",
+    )
     p.add_argument("--eval_batches", type=int, default=0, help="0 = full eval")
     p.add_argument("--eval_batch", type=int, default=0, help="0 = --batch")
     p.add_argument(

@@ -404,3 +404,77 @@ def test_tied_bias_output():
     )
     n = float(stats["n"])
     assert np.isclose(float(stats["loss_sum"]) / n, float(dense_loss), rtol=1e-5)
+
+
+def test_qkv_fused_model_trains_and_tp_rejects():
+    """qkv_fused=True: one (D, 3D) wqkv projection replaces wq/wk/wv; the
+    model trains (finite falling loss) and the TP tier rejects the config
+    (its column-split specs are per-projection)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from bert4clickpath_tpu import (
+        ClickstreamModel,
+        FeatureConfig,
+        HeadConfig,
+        MeshConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+    from bert4clickpath_tpu.data.generator import ClickStreamGenerator
+    from bert4clickpath_tpu.data.pipeline import ClozeDataset
+    from bert4clickpath_tpu.parallel import tp
+    from bert4clickpath_tpu.parallel.mesh import make_mesh
+    from bert4clickpath_tpu.training import schedules
+    from bert4clickpath_tpu.training.train_state import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    gen = ClickStreamGenerator(n_items=64, seed=0)
+    vocab = gen.item_vocab()
+    cfg = ModelConfig(
+        features={"items": FeatureConfig(vocab.model_vocab_size, 32)},
+        num_layers=2, num_heads=2, ffn_dim=64, max_len=23,
+        head=HeadConfig("tied_softmax", output_size=vocab.label_vocab_size),
+        qkv_fused=True,
+    )
+    # JSON round-trip keeps the field
+    assert ModelConfig.from_json(cfg.to_json()).qkv_fused is True
+
+    model = ClickstreamModel(cfg)
+    items, _ = gen.generate_sessions(16)
+    ds = ClozeDataset(items, vocab, max_items=20)
+    it = ds.train_batches(8, seed=0)
+    b = next(it)
+    batch = {
+        "features": {k: jnp.asarray(v) for k, v in b.features.items()},
+        "head_positions": jnp.asarray(b.head_positions),
+        "labels": jnp.asarray(b.labels),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        batch["features"], batch["head_positions"],
+    )
+    layer0 = params["params"]["encoder"]["layer_0"]["mha"]
+    assert "wqkv" in layer0 and "wq" not in layer0
+    assert layer0["wqkv"]["kernel"].shape == (32, 96)
+
+    tx = make_optimizer(TrainConfig(batch_size=8))
+    step = make_train_step(model, tx, schedules.constant(1e-2))
+    state = TrainState.create(params, tx)
+    losses = []
+    rng = jax.random.PRNGKey(1)
+    for _ in range(12):
+        state, loss = step(state, batch, rng)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    with pytest.raises(ValueError, match="qkv_fused"):
+        tp.make_tp_train_step(
+            model, tx, schedules.constant(1e-2), mesh
+        )
