@@ -1006,3 +1006,36 @@ def test_spmd_scan_step_matches_sequential():
         jax.device_get(state2.params),
         jax.device_get(seq_state.params),
     )
+
+
+def test_spmd_train_step_qkv_fused_matches_single_device():
+    """The vocab-sharded tier with qkv_fused=True (one wqkv projection):
+    sharded loss == the dense single-device loss at the same params."""
+    mesh, ds, vocab, cfg = _spmd_setup()
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, qkv_fused=True)
+    tcfg = TrainConfig()
+    model = ClickstreamModel(cfg)
+    b = _device_batch(next(ds.train_batches(8, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+    )["params"]
+    assert "wqkv" in params["encoder"]["layer_0"]["mha"]
+    tx = make_optimizer(tcfg)
+    state = TrainState.create(params, tx)
+
+    logits = model.apply({"params": params}, b["features"], b["head_positions"])
+    dense = logits[..., : vocab.label_vocab_size]
+    want = float(masked_softmax_cross_entropy(dense, b["labels"]))
+
+    step = spmd.make_spmd_train_step(
+        cfg, mesh, tx, schedules.constant(1e-2), vocab.label_vocab_size
+    )
+    new_state, loss = step(
+        spmd.shard_state(state, mesh, cfg),
+        spmd.shard_batch(b, mesh, cfg),
+        jax.random.PRNGKey(1),
+    )
+    np.testing.assert_allclose(float(loss), float(want), rtol=2e-4)
+    assert int(np.asarray(new_state.step)) == 1
