@@ -99,17 +99,23 @@ def _fwd_kernel(
     row_start_ref,  # (1, 1) SMEM: global row id of this table's first row
     x_ref,  # (Tn, D)
     w_ref,  # (Tv, D)
-    *rest,  # [b_ref (1, Tv) when has_bias] lab_ref, m_ref, l_ref, g_ref
+    *rest,  # [b_ref (1, Tv) when has_bias] [lab_ref when pick] m_ref, l_ref, [g_ref]
     tv: int,
     row_offset: int,
     num_valid: int,
     has_bias: bool = False,
+    label_pick: bool = True,
 ):
-    if has_bias:
-        b_ref, lab_ref, m_ref, l_ref, g_ref = rest
-    else:
+    rest = list(rest)
+    b_ref = rest.pop(0) if has_bias else None
+    if label_pick:
         lab_ref, m_ref, l_ref, g_ref = rest
-        b_ref = None
+    else:
+        # label logit computed outside the kernel (one (N, D) row-gather +
+        # row-dot in XLA) — removes the iota/compare/mul/reduce VPU passes
+        # from every interior tile of the hot loop
+        m_ref, l_ref = rest
+        lab_ref = g_ref = None
     j = pl.program_id(1)
     row_start = row_start_ref[0, 0]
 
@@ -117,7 +123,8 @@ def _fwd_kernel(
     def _init():
         m_ref[:] = jnp.full_like(m_ref, NEG_BIG)
         l_ref[:] = jnp.zeros_like(l_ref)
-        g_ref[:] = jnp.zeros_like(g_ref)
+        if g_ref is not None:
+            g_ref[:] = jnp.zeros_like(g_ref)
 
     x = x_ref[:]
     w = w_ref[:].astype(x.dtype)  # keep the MXU in the compute dtype
@@ -131,18 +138,17 @@ def _fwd_kernel(
         s = s + b_ref[:]  # (1, Tv) broadcasts over rows; before blinding
 
     tile0 = row_start + j * tv
-    rows = tile0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
     # Boundary tiles (containing reserved/OOV/padding rows) need blinding;
     # interior tiles skip the whole mask computation on the VPU.
     interior = (tile0 >= row_offset) & (tile0 + tv <= row_offset + num_valid)
-    s = jax.lax.cond(
-        interior,
-        lambda s: s,
-        lambda s: jnp.where(
+
+    def _blind(s):
+        rows = tile0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        return jnp.where(
             (rows >= row_offset) & (rows < row_offset + num_valid), s, NEG_BIG
-        ),
-        s,
-    )
+        )
+
+    s = jax.lax.cond(interior, lambda s: s, _blind, s)
 
     # online max / sumexp
     m_prev = m_ref[:]  # (Tn, 1)
@@ -153,28 +159,37 @@ def _fwd_kernel(
     )
     m_ref[:] = m_new
 
-    # label logit: one-hot pick within this tile
-    lab = lab_ref[:]  # (Tn, 1) model-space
-    onehot = (rows == lab).astype(jnp.float32)
-    g_ref[:] = g_ref[:] + jnp.sum(s * onehot, axis=1, keepdims=True)
+    if g_ref is not None:
+        # label logit: one-hot pick within this tile
+        rows = tile0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        lab = lab_ref[:]  # (Tn, 1) model-space
+        onehot = (rows == lab).astype(jnp.float32)
+        g_ref[:] = g_ref[:] + jnp.sum(s * onehot, axis=1, keepdims=True)
 
 
-def _fwd_stats(x, table, labels_model, row_start, row_offset, num_valid, bias=None):
-    """Online (max, sumexp, label-logit) over this table's rows.
+def _fwd_stats(
+    x, table, labels_model, row_start, row_offset, num_valid, bias=None
+):
+    """Online (max, sumexp[, label-logit]) over this table's rows.
 
     ``row_start`` (traced int32 scalar) is the global row id of
     ``table[0]`` — 0 single-chip, ``shard_index * V_local`` under shard_map.
     ``bias`` (optional, (1, V) f32): per-row logit bias added before blinding.
+    ``labels_model`` None skips the in-kernel label pick (returns m, l, None)
+    — used single-chip where the label logit is one XLA row-gather + dot;
+    the sharded path keeps the in-kernel pick (label rows may be off-shard).
     """
     n, d = x.shape
     v = table.shape[0]
     tn, tv = _row_tile(n), _vocab_tile(v)
     grid = (n // tn, v // tv)
+    label_pick = labels_model is not None
     kernel = functools.partial(
         _fwd_kernel, tv=tv, row_offset=row_offset, num_valid=num_valid,
-        has_bias=bias is not None,
+        has_bias=bias is not None, label_pick=label_pick,
     )
-    out_shape = [jax.ShapeDtypeStruct((n, 1), jnp.float32)] * 3
+    n_out = 3 if label_pick else 2
+    out_shape = [jax.ShapeDtypeStruct((n, 1), jnp.float32)] * n_out
     in_specs = [
         pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -186,31 +201,47 @@ def _fwd_stats(x, table, labels_model, row_start, row_offset, num_valid, bias=No
             pl.BlockSpec((1, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM)
         )
         operands.append(bias.astype(jnp.float32))
-    in_specs.append(
-        pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-    )
-    operands.append(labels_model)
-    m, l, g = pl.pallas_call(
+    if label_pick:
+        in_specs.append(
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(labels_model)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
         ]
-        * 3,
+        * n_out,
         out_shape=out_shape,
         interpret=_interpret(),
     )(*operands)
-    return m, l, g
+    if label_pick:
+        return outs
+    m, l = outs
+    return m, l, None
+
+
+def _label_logit(x, table, labels_model, bias=None):
+    """Label logit via one (N, D) row-gather + row-dot — same MXU-dtype math
+    as the in-kernel one-hot pick (bf16 operands, f32 accumulation). Pad rows
+    (labels_model -1) read row 0; callers mask their nll to 0."""
+    lab = jnp.maximum(labels_model[:, 0], 0)
+    w_rows = table[lab].astype(x.dtype)
+    g = jnp.einsum("nd,nd->n", x, w_rows, preferred_element_type=jnp.float32)
+    if bias is not None:
+        g = g + bias[0, lab]
+    return g
 
 
 def _fwd(x, table, labels_model, row_offset, num_valid, bias=None):
-    m, l, g = _fwd_stats(
-        x, table, labels_model, jnp.zeros((), jnp.int32), row_offset, num_valid,
+    m, l, _ = _fwd_stats(
+        x, table, None, jnp.zeros((), jnp.int32), row_offset, num_valid,
         bias=bias,
     )
     logz = m[:, 0] + jnp.log(l[:, 0])
-    return logz, g[:, 0]
+    return logz, _label_logit(x, table, labels_model, bias=bias)
 
 
 # -- backward kernel ------------------------------------------------------
