@@ -244,6 +244,28 @@ def main(argv=None):
         )
         sequences, _ = gen.generate_sessions(args.n_sessions)
         vocab = gen.item_vocab()
+    elif os.path.isdir(args.data):
+        # prepared directory from examples/bert4rec/prepare_data.py
+        # (packed npz shards + vocab) — the reference's prep-once/train-many
+        # workflow (data_prep/main.py writes, source/main.py reads)
+        from bert4clickpath_tpu.data import etl
+        from bert4clickpath_tpu.vocab import Vocabulary
+
+        vocab = Vocabulary.from_file(
+            os.path.join(args.data, "vocabs", "item_vocab.txt")
+        )
+        sequences = etl.read_packed(os.path.join(args.data, "sequences_*.npz"))
+        if not sequences:
+            raise SystemExit(f"no sequences_*.npz shards under {args.data}")
+        # prepare_data already truncated to its --max_seq_len; re-truncation
+        # here would silently change the corpus
+        too_long = max(len(s) for s in sequences)
+        if too_long > args.max_items:
+            raise SystemExit(
+                f"prepared sequences up to {too_long} items exceed "
+                f"--max_items {args.max_items}; re-run prepare_data or raise "
+                "the flag"
+            )
     else:
         sequences, vocab = load_beauty(args.data, max_seq_len=args.max_items)
     print(f"sequences={len(sequences)} items={vocab.size}", flush=True)

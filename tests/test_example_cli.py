@@ -174,3 +174,44 @@ def test_multivariable_cli_serves(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "serving top-5:" in out.stdout
     assert "done" in out.stdout
+
+
+def test_train_cli_prepared_dir(tmp_path):
+    """prepare_data output directory feeds train.py --data directly — the
+    reference's prep-once/train-many workflow (data_prep/main.py writes,
+    source/main.py reads)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # synthesize a small 'user item' pairs file
+    pairs = tmp_path / "pairs.txt"
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    with open(pairs, "w") as f:
+        for u in range(60):
+            for it in rng.integers(0, 40, size=8):
+                f.write(f"u{u} i{it}\n")
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    prepared = tmp_path / "prepared"
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "bert4rec", "prepare_data.py"),
+            "--input", str(pairs), "--output", str(prepared),
+            "--max_seq_len", "20",
+        ],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "bert4rec", "train.py"),
+            "--data", str(prepared),
+            "--model_dir", str(tmp_path / "run"),
+            "--preset", "parity", "--epochs", "1", "--batch", "16",
+            "--eval_batches", "1", "--max_items", "20",
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "done" in out.stdout
