@@ -144,3 +144,54 @@ def masked_multilabel_cross_entropy(
     return masked_binary_cross_entropy(
         logits, labels, label_pad=label_pad, axis_name=axis_name
     )
+
+
+def sampled_softmax_ce(
+    x: jnp.ndarray,  # (N, D) head inputs
+    table: jnp.ndarray,  # (V, D) catalog rows (model space)
+    labels: jnp.ndarray,  # (N,) label-space ids, LABEL_PAD allowed
+    row_offset: int,
+    num_valid: int,
+    num_samples: int,
+    rng: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,  # (V,) model-space logit bias
+) -> jnp.ndarray:
+    """Per-row sampled-softmax NLL over a tied catalog projection.
+
+    The training-throughput escape hatch at very large catalogs (SURVEY §7
+    stage 6 "tied-weight projection/sampled-softmax"): instead of streaming
+    all V rows through the fused CE kernel, draw ``num_samples``
+    batch-shared uniform negatives, so the per-step head cost drops from
+    O(N·V·D) to O(N·S·D + S·D). Eval stays exact (chunked catalog scan).
+
+    Standard corrections (the tf.nn.sampled_softmax_loss contract the
+    reference ecosystem assumes): negatives get ``+log(num_valid /
+    num_samples)`` (the -log Q(class) importance correction for a uniform
+    sampler; the always-present positive has Q=1), and accidental hits
+    (negative == row's own label) are blinded. With-replacement sampling:
+    at S << V collisions are negligible and the estimator stays simple.
+
+    Returns nll (N,) f32 with 0 at LABEL_PAD rows; differentiable wrt x,
+    table and bias (gathers scatter-add under autodiff — only S+N rows of
+    the table receive gradient, which is the point).
+    """
+    neg_lab = jax.random.randint(rng, (num_samples,), 0, num_valid)
+    lab_safe = jnp.maximum(labels, 0)
+    w_pos = table[lab_safe + row_offset].astype(x.dtype)  # (N, D)
+    w_neg = table[neg_lab + row_offset].astype(x.dtype)  # (S, D)
+    pos = jnp.einsum("nd,nd->n", x, w_pos, preferred_element_type=jnp.float32)
+    neg = jnp.einsum("nd,sd->ns", x, w_neg, preferred_element_type=jnp.float32)
+    if bias is not None:
+        b = bias.astype(jnp.float32)
+        pos = pos + b[lab_safe + row_offset]
+        neg = neg + b[neg_lab + row_offset]
+    # importance correction, then accidental-hit blinding
+    neg = neg + jnp.log(jnp.float32(num_valid) / jnp.float32(num_samples))
+    hit = neg_lab[None, :] == lab_safe[:, None]
+    neg = jnp.where(hit, -1e30, neg)
+    m = jnp.maximum(pos, jnp.max(neg, axis=-1))
+    logz = m + jnp.log(
+        jnp.exp(pos - m) + jnp.sum(jnp.exp(neg - m[:, None]), axis=-1)
+    )
+    mask = (labels != LABEL_PAD).astype(jnp.float32)
+    return (logz - pos) * mask

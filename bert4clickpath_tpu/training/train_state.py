@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from bert4clickpath_tpu.constants import LABEL_PAD
 from bert4clickpath_tpu.models.model import head_catalog
 from bert4clickpath_tpu.ops import metrics as metrics_lib
 from bert4clickpath_tpu.ops.losses import (
@@ -141,6 +142,43 @@ def fused_head_ce_sums(model, params, batch, rng, num_valid: int):
     )
 
 
+def sampled_head_ce_sums(
+    model, params, batch, rng, sample_rng, num_valid: int, num_samples: int
+):
+    """(nll_sum, mask_count) through sampled softmax (ops/losses.py) —
+    O(N·S·D) instead of O(N·V·D): the large-catalog training escape hatch.
+    Same head coverage and sums contract as :func:`fused_head_ce_sums`;
+    eval stays exact (chunked catalog scan)."""
+    from bert4clickpath_tpu.ops.losses import sampled_softmax_ce
+
+    head_kind = model.config.head.kind
+    if head_kind not in ("tied_softmax", "softmax"):
+        raise ValueError(
+            f"sampled softmax requires a softmax-family head, got {head_kind}"
+        )
+    gathered = model.apply(
+        params,
+        batch["features"],
+        batch.get("head_positions"),
+        deterministic=rng is None,
+        rngs=None if rng is None else {"dropout": rng},
+        method=(
+            "gather_head_inputs"
+            if head_kind == "tied_softmax"
+            else "head_trunk_outputs"
+        ),
+    )
+    table, bias, row_offset, _ = head_catalog(model.config, params)
+    labels = batch["labels"].reshape(-1)
+    x = gathered.reshape(-1, gathered.shape[-1])
+    nll = sampled_softmax_ce(
+        x, table, labels, row_offset, num_valid, num_samples, sample_rng,
+        bias=None if bias is None else bias.reshape(-1),
+    )
+    mask = (labels != LABEL_PAD).astype(jnp.float32)
+    return jnp.sum(nll), jnp.sum(mask)
+
+
 def loss_for_head(head_kind: str) -> Callable:
     if head_kind in ("softmax", "tied_softmax"):
         return masked_softmax_cross_entropy
@@ -161,6 +199,7 @@ def make_train_step(
     fused_ce_num_valid: Optional[int] = None,
     ema_decay: float = 0.0,
     raw: bool = False,
+    sampled_softmax_samples: Optional[int] = None,
 ):
     """Returns jitted ``(state, batch, rng) -> (state, loss)``.
 
@@ -179,6 +218,11 @@ def make_train_step(
     of dense logits; pass the raw label vocabulary size V. Requires the item
     table rows to be a multiple of the kernel's vocab tile (pad via
     parallel.spmd.padded_vocab_rows-style rounding).
+
+    sampled_softmax_samples: with fused_ce_num_valid (supplying V), train on
+    S batch-shared uniform negatives instead of the full catalog —
+    O(N·S·D) loss at very large V (ops/losses.py:sampled_softmax_ce); eval
+    stays exact. The loss VALUE is a stochastic estimate of the full CE.
     """
     head_kind = model.config.head.kind
     loss_fn = loss_fn or loss_for_head(head_kind)
@@ -186,6 +230,11 @@ def make_train_step(
         "tied_softmax",
         "softmax",
     )
+    if sampled_softmax_samples is not None and not use_fused:
+        raise ValueError(
+            "sampled_softmax_samples requires fused_ce_num_valid (it supplies "
+            "the valid-row count) and a softmax-family head"
+        )
     if use_fused and axis_name is not None:
         raise ValueError(
             "fused_ce_num_valid computes a locally-normalized masked mean; "
@@ -197,6 +246,13 @@ def make_train_step(
         rng = jax.random.fold_in(rng, state.step)
 
         def compute_loss(params):
+            if use_fused and sampled_softmax_samples is not None:
+                total, count = sampled_head_ce_sums(
+                    model, params, batch, rng,
+                    jax.random.fold_in(rng, 1),  # negatives stream
+                    fused_ce_num_valid, sampled_softmax_samples,
+                )
+                return total / jnp.maximum(count, 1.0)
             if use_fused:
                 total, count = fused_head_ce_sums(
                     model, params, batch, rng, fused_ce_num_valid

@@ -160,6 +160,12 @@ def main(argv=None):
     )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
+        "--sampled_softmax", type=int, default=0,
+        help="train on N batch-shared uniform negatives instead of the "
+        "full catalog (O(N*S*D) loss; eval stays exact) — the very-large-"
+        "catalog escape hatch; single-device path only",
+    )
+    p.add_argument(
         "--qkv_fused",
         action="store_true",
         help="single (D, 3D) QKV projection (better MXU fill at narrow "
@@ -336,6 +342,21 @@ def main(argv=None):
     )
     n_dev = len(jax.devices())
     use_dp = args.parallel == "dp" or (args.parallel == "auto" and n_dev > 1)
+    if args.sampled_softmax and use_dp:
+        raise SystemExit(
+            "--sampled_softmax is single-device only (use --parallel none); "
+            "the DP tier reduces exact fused-CE sums"
+        )
+    if args.sampled_softmax and not fused_num_valid:
+        raise SystemExit(
+            "--sampled_softmax requires a softmax-family head (tied preset "
+            "or --fused_head)"
+        )
+    sampled_kw = (
+        {"sampled_softmax_samples": args.sampled_softmax}
+        if args.sampled_softmax
+        else {}
+    )
     batch_to_device = to_device
     # scan multi-step resolution, shared by both paths
     spc, stack_batches = args.steps_per_call, None
@@ -399,6 +420,7 @@ def main(argv=None):
                 schedule,
                 fused_ce_num_valid=fused_num_valid,
                 ema_decay=args.ema_decay,
+                **sampled_kw,
             )
             print(f"scan train step: {spc} steps/dispatch", flush=True)
         else:
@@ -408,6 +430,7 @@ def main(argv=None):
                 schedule,
                 fused_ce_num_valid=fused_num_valid,
                 ema_decay=args.ema_decay,
+                **sampled_kw,
             )
         eval_step = make_eval_step(
             model,
