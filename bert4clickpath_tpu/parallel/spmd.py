@@ -692,3 +692,61 @@ def make_dp_eval_step(
         )(params, batch)
 
     return jax.jit(sharded)
+
+
+def make_sampled_spmd_train_step(
+    model: ClickstreamModel,
+    mesh: Mesh,
+    tx: optax.GradientTransformation,
+    schedule: Callable,
+    num_valid: int,
+    num_samples: int,
+    ema_decay: float = 0.0,
+    donate: bool = True,
+):
+    """Sampled-softmax training over the row-sharded table via pjit
+    auto-sharding.
+
+    The sampled loss (ops/losses.py:sampled_softmax_ce) touches only S+N
+    table rows per step, so the hand-written shard_map collectives of the
+    fused-CE tier buy nothing here — annotate the same shardings (table +
+    Adam moments P('model', None), batch P('data')) on the standard
+    single-program step and let the partitioner turn the two row-gathers
+    into collectives; the scatter-add gradient lands on the owning shards.
+    The very-large-catalog composition: table/optimizer memory scales down
+    with the model axis while the per-step loss stays O(N·S·D).
+    """
+    from bert4clickpath_tpu.training.train_state import make_train_step
+
+    step = make_train_step(
+        model,
+        tx,
+        schedule,
+        raw=True,
+        fused_ce_num_valid=num_valid,
+        sampled_softmax_samples=num_samples,
+        ema_decay=ema_decay,
+    )
+    cache = {}
+
+    def jitted(state: TrainState, batch, rng):
+        if "fn" not in cache:
+            sspec = jax.tree.map(
+                lambda s: NamedSharding(mesh, s),
+                state_specs(state, model.config),
+                is_leaf=lambda x: isinstance(x, P),
+            )
+            bspec = jax.tree.map(
+                lambda s: NamedSharding(mesh, s),
+                batch_specs(model.config),
+                is_leaf=lambda x: isinstance(x, P),
+            )
+            cache["fn"] = jax.jit(
+                step,
+                in_shardings=(sspec, bspec, NamedSharding(mesh, P())),
+                out_shardings=(sspec, NamedSharding(mesh, P())),
+                donate_argnums=(0,) if donate else (),
+            )
+        return cache["fn"](state, batch, rng)
+
+    return jitted

@@ -76,6 +76,12 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--data_axis", type=int, default=0, help="0 = auto")
     p.add_argument("--model_axis", type=int, default=0, help="0 = auto")
+    p.add_argument(
+        "--sampled", type=int, default=0,
+        help="train with S batch-shared sampled-softmax negatives instead "
+        "of the full-catalog fused CE (O(N*S*D) loss; "
+        "parallel.spmd.make_sampled_spmd_train_step)",
+    )
     args = p.parse_args(argv)
 
     n_dev = len(jax.devices())
@@ -124,10 +130,23 @@ def main(argv=None):
 
     tcfg = TrainConfig()
     tx = make_optimizer(tcfg)
-    state = spmd.shard_state(TrainState.create(params, tx), mesh, cfg)
-    step = spmd.make_spmd_train_step(
-        cfg, mesh, tx, schedules.constant(1e-3), args.items
-    )
+    if args.sampled:
+        # pjit tier wants the wrapped tree (the standard step applies it)
+        from bert4clickpath_tpu.models.model import ClickstreamModel
+
+        state = spmd.shard_state(
+            TrainState.create({"params": params}, tx), mesh, cfg
+        )
+        step = spmd.make_sampled_spmd_train_step(
+            ClickstreamModel(cfg), mesh, tx, schedules.constant(1e-3),
+            args.items, args.sampled,
+        )
+        print(f"sampled softmax: S={args.sampled} negatives/step")
+    else:
+        state = spmd.shard_state(TrainState.create(params, tx), mesh, cfg)
+        step = spmd.make_spmd_train_step(
+            cfg, mesh, tx, schedules.constant(1e-3), args.items
+        )
 
     rng = np.random.default_rng(0)
     batch = spmd.shard_batch(synthetic_batch(rng, args.batch, args.max_items, 10, args.items), mesh, cfg)

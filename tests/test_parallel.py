@@ -1039,3 +1039,43 @@ def test_spmd_train_step_qkv_fused_matches_single_device():
     )
     np.testing.assert_allclose(float(loss), float(want), rtol=2e-4)
     assert int(np.asarray(new_state.step)) == 1
+
+
+def test_sampled_spmd_matches_single_device():
+    """Sampled-softmax training over the row-sharded table (pjit
+    auto-sharding) == the single-device sampled step: same rng => same
+    negatives => same loss and params trajectory."""
+    from bert4clickpath_tpu.training.train_state import make_train_step
+
+    mesh, ds, vocab, cfg = _spmd_setup()
+    model = ClickstreamModel(cfg)
+    b = _device_batch(next(ds.train_batches(8, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+    )  # wrapped {"params": ...}: the single-program step applies it directly
+    tx = make_optimizer(TrainConfig())
+    rng = jax.random.PRNGKey(1)
+
+    single = make_train_step(
+        model, tx, schedules.constant(1e-2),
+        fused_ce_num_valid=vocab.label_vocab_size,
+        sampled_softmax_samples=16, donate=False,
+    )
+    s_state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    want = []
+    for _ in range(3):
+        s_state, loss = single(s_state, b, rng)
+        want.append(float(loss))
+
+    sharded = spmd.make_sampled_spmd_train_step(
+        model, mesh, tx, schedules.constant(1e-2),
+        vocab.label_vocab_size, 16, donate=False,
+    )
+    state = spmd.shard_state(TrainState.create(params, tx), mesh, cfg)
+    batch = spmd.shard_batch(b, mesh, cfg)
+    got = []
+    for _ in range(3):
+        state, loss = sharded(state, batch, rng)
+        got.append(float(loss))
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+    assert int(np.asarray(state.step)) == 3
