@@ -36,19 +36,19 @@ def _pairs_to_sequences(
     (pd.unique, main.py:74), optional post-truncation min-length filter.
     """
     user_items: dict[str, list[str]] = {}
-    kept_stream: list[str] = []  # truncated interactions, stream order
+    kept_stream: list[tuple[str, str]] = []  # truncated (user, item), stream order
     for user, item in pairs:
         lst = user_items.setdefault(user, [])
         if len(lst) < max_seq_len:
             lst.append(item)
-            kept_stream.append(item)
+            kept_stream.append((user, item))
     if min_feedback:
         user_items = {u: s for u, s in user_items.items() if len(s) >= min_feedback}
-        kept_stream = [i for s in user_items.values() for i in s]
     # first appearance in the truncated *stream* order, matching pd.unique
     # over the row-ordered frame (main.py:74) — for time-sorted input this
-    # differs from per-user grouping order
-    vocab = Vocabulary.from_corpus(kept_stream)
+    # differs from per-user grouping order (min_feedback filters in place so
+    # the stream order survives)
+    vocab = Vocabulary.from_corpus(i for u, i in kept_stream if u in user_items)
     sequences = [vocab.encode_labels(items) for items in user_items.values()]
     return sequences, vocab
 

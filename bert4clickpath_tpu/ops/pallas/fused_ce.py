@@ -32,6 +32,7 @@ keeps CPU tests honest against the dense oracle.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,18 +48,19 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-import os
-
 # Chip-sweep overrides for the tile sizes (benchmarks/profile_step.py
 # --ce_row_tile/--ce_vocab_tile set these): honored only when they divide
-# the dimension, so a stale env var can never produce an invalid grid.
+# the dimension, respect TPU (8, 128) tiling, and stay inside the VMEM
+# budget (Tn×Tv f32 score tile) — so a stale env var cannot produce a
+# Mosaic-invalid grid.
 _ROW_TILE_ENV = "B4CP_CE_ROW_TILE"
 _VOCAB_TILE_ENV = "B4CP_CE_VOCAB_TILE"
+_MAX_SCORE_TILE_BYTES = 8 << 20  # Tn(max 512) × Tv × 4B
 
 
 def _row_tile(n: int) -> int:
     t0 = int(os.environ.get(_ROW_TILE_ENV, "0"))
-    if t0 > 0 and n % t0 == 0:
+    if 0 < t0 <= 512 and t0 % 8 == 0 and n % t0 == 0:
         return t0
     for t in (512, 256, 128, 64, 32, 16, 8):
         if n % t == 0:
@@ -77,7 +79,12 @@ def padded_rows(v: int) -> int:
 
 def _vocab_tile(v: int) -> int:
     t0 = int(os.environ.get(_VOCAB_TILE_ENV, "0"))
-    if t0 >= 128 and v % t0 == 0:
+    if (
+        t0 >= 128
+        and t0 % 128 == 0
+        and v % t0 == 0
+        and 512 * t0 * 4 <= _MAX_SCORE_TILE_BYTES
+    ):
         return t0
     # 1024 keeps the (Tn, Tv) f32 score tile + double-buffered w tiles under
     # the 16MB VMEM budget with Tn=512.

@@ -230,11 +230,14 @@ def make_train_step(
         "tied_softmax",
         "softmax",
     )
-    if sampled_softmax_samples is not None and not use_fused:
-        raise ValueError(
-            "sampled_softmax_samples requires fused_ce_num_valid (it supplies "
-            "the valid-row count) and a softmax-family head"
-        )
+    if sampled_softmax_samples is not None:
+        if not use_fused:
+            raise ValueError(
+                "sampled_softmax_samples requires fused_ce_num_valid (it "
+                "supplies the valid-row count) and a softmax-family head"
+            )
+        if sampled_softmax_samples <= 0:
+            raise ValueError("sampled_softmax_samples must be positive")
     if use_fused and axis_name is not None:
         raise ValueError(
             "fused_ce_num_valid computes a locally-normalized masked mean; "

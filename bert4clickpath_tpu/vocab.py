@@ -48,9 +48,9 @@ class Vocabulary:
         self._model_ids = {t: i for i, t in enumerate(RESERVED_TOKENS)}
         for t, i in self._label_ids.items():
             self._model_ids[t] = NUM_RESERVED_TOKENS + i
-        # sorted lookup tables for the vectorized encoders, built lazily —
-        # at a 10M-item catalog the per-token dict loop was the serving
-        # bottleneck (np.searchsorted is ~2 orders of magnitude faster)
+        # hash lookup tables (pandas C index) for the vectorized encoders,
+        # built lazily — at a 10M-item catalog the per-token dict loop was
+        # the serving bottleneck (see _make_lut for the measured ranking)
         self._model_lut_cache = None
         self._label_lut_cache = None
 

@@ -169,7 +169,7 @@ def main(argv=None):
         "--qkv_fused",
         action="store_true",
         help="single (D, 3D) QKV projection (better MXU fill at narrow "
-        "d_model; not supported by --parallel tp)",
+        "d_model; the tensor-parallel tier (parallel/tp.py) rejects it)",
     )
     p.add_argument("--eval_batches", type=int, default=0, help="0 = full eval")
     p.add_argument("--eval_batch", type=int, default=0, help="0 = --batch")
