@@ -601,13 +601,26 @@ def _sharded_fwd_impl(
     brow = None
     if bias_full is not None:
         brow = _local_bias_row(bias_full, row_start, table_shard.shape[0])
-    m, l, g = _fwd_stats(
-        xf, table_shard, lab_model, row_start, row_offset, num_valid, bias=brow
+    m, l, _ = _fwd_stats(
+        xf, table_shard, None, row_start, row_offset, num_valid, bias=brow
     )
     gmax = jax.lax.pmax(m, model_axis)  # (n, 1)
     total = jax.lax.psum(l * jnp.exp(m - gmax), model_axis)
     logz = (gmax + jnp.log(total))[:, 0]  # (n,)
-    label_logit = jax.lax.psum(g, model_axis)[:, 0]
+    # label logit hoisted out of the kernel (same as the single-chip path):
+    # the owning shard gathers its rows, everyone else contributes 0, psum
+    # assembles — the embedding-lookup pattern (parallel/embedding.py)
+    v_local = table_shard.shape[0]
+    local = lab_model[:, 0] - row_start
+    in_shard = (local >= 0) & (local < v_local)
+    idx = jnp.clip(local, 0, v_local - 1)
+    g_loc = jnp.einsum(
+        "nd,nd->n", xf, table_shard[idx].astype(xf.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if brow is not None:
+        g_loc = g_loc + brow[0, idx]
+    label_logit = jax.lax.psum(jnp.where(in_shard, g_loc, 0.0), model_axis)
     mask = (labf != LABEL_PAD).astype(jnp.float32)
     total_loss = jnp.sum((logz - label_logit) * mask)
     count = jnp.sum(mask)
