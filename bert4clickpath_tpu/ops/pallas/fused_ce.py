@@ -10,7 +10,8 @@ streams the projection table through VMEM in vocab tiles with an online
 O(N·V) to O(V·D + N·D):
 
   forward:  per (row-tile i, vocab-tile j):  s = x_i @ W_j^T  (MXU, f32 acc)
-            m, l carried online; label logit picked via a one-hot dot.
+            m, l carried online; the label logit is one (N, D) row-gather +
+            row-dot OUTSIDE the kernel (hoisted off the VPU hot loop).
   backward: recompute s, form A = dnll * (softmax - onehot), accumulate
             dx_i += A @ W_j and emit dW_j = A^T @ x_i   (custom VJP).
 
@@ -106,23 +107,18 @@ def _fwd_kernel(
     row_start_ref,  # (1, 1) SMEM: global row id of this table's first row
     x_ref,  # (Tn, D)
     w_ref,  # (Tv, D)
-    *rest,  # [b_ref (1, Tv) when has_bias] [lab_ref when pick] m_ref, l_ref, [g_ref]
+    *rest,  # [b_ref (1, Tv) when has_bias] m_ref, l_ref
     tv: int,
     row_offset: int,
     num_valid: int,
     has_bias: bool = False,
-    label_pick: bool = True,
 ):
+    # The label logit is computed OUTSIDE the kernel (one (N, D) row-gather
+    # + row-dot; the sharded tier masks+psums it) — the one-hot pick used to
+    # cost iota/compare/mul/reduce VPU passes over every interior score tile.
     rest = list(rest)
     b_ref = rest.pop(0) if has_bias else None
-    if label_pick:
-        lab_ref, m_ref, l_ref, g_ref = rest
-    else:
-        # label logit computed outside the kernel (one (N, D) row-gather +
-        # row-dot in XLA) — removes the iota/compare/mul/reduce VPU passes
-        # from every interior tile of the hot loop
-        m_ref, l_ref = rest
-        lab_ref = g_ref = None
+    m_ref, l_ref = rest
     j = pl.program_id(1)
     row_start = row_start_ref[0, 0]
 
@@ -130,8 +126,6 @@ def _fwd_kernel(
     def _init():
         m_ref[:] = jnp.full_like(m_ref, NEG_BIG)
         l_ref[:] = jnp.zeros_like(l_ref)
-        if g_ref is not None:
-            g_ref[:] = jnp.zeros_like(g_ref)
 
     x = x_ref[:]
     w = w_ref[:].astype(x.dtype)  # keep the MXU in the compute dtype
@@ -166,36 +160,26 @@ def _fwd_kernel(
     )
     m_ref[:] = m_new
 
-    if g_ref is not None:
-        # label logit: one-hot pick within this tile
-        rows = tile0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-        lab = lab_ref[:]  # (Tn, 1) model-space
-        onehot = (rows == lab).astype(jnp.float32)
-        g_ref[:] = g_ref[:] + jnp.sum(s * onehot, axis=1, keepdims=True)
 
-
-def _fwd_stats(
-    x, table, labels_model, row_start, row_offset, num_valid, bias=None
-):
-    """Online (max, sumexp[, label-logit]) over this table's rows.
+def _fwd_stats(x, table, row_start, row_offset, num_valid, bias=None):
+    """Online (max, sumexp) over this table's rows.
 
     ``row_start`` (traced int32 scalar) is the global row id of
     ``table[0]`` — 0 single-chip, ``shard_index * V_local`` under shard_map.
     ``bias`` (optional, (1, V) f32): per-row logit bias added before blinding.
-    ``labels_model`` None skips the in-kernel label pick (returns m, l, None)
-    — used single-chip where the label logit is one XLA row-gather + dot;
-    the sharded path keeps the in-kernel pick (label rows may be off-shard).
+    The label logit is NOT computed here — single-chip it is one XLA
+    row-gather + dot (:func:`_label_logit`); the sharded tier gathers its
+    local rows and psums (_sharded_fwd_impl).
     """
     n, d = x.shape
     v = table.shape[0]
     tn, tv = _row_tile(n), _vocab_tile(v)
     grid = (n // tn, v // tv)
-    label_pick = labels_model is not None
     kernel = functools.partial(
         _fwd_kernel, tv=tv, row_offset=row_offset, num_valid=num_valid,
-        has_bias=bias is not None, label_pick=label_pick,
+        has_bias=bias is not None,
     )
-    n_out = 3 if label_pick else 2
+    n_out = 2
     out_shape = [jax.ShapeDtypeStruct((n, 1), jnp.float32)] * n_out
     in_specs = [
         pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
@@ -208,11 +192,6 @@ def _fwd_stats(
             pl.BlockSpec((1, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM)
         )
         operands.append(bias.astype(jnp.float32))
-    if label_pick:
-        in_specs.append(
-            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-        )
-        operands.append(labels_model)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -224,10 +203,8 @@ def _fwd_stats(
         out_shape=out_shape,
         interpret=_interpret(),
     )(*operands)
-    if label_pick:
-        return outs
     m, l = outs
-    return m, l, None
+    return m, l
 
 
 def _label_logit(x, table, labels_model, bias=None):
@@ -243,9 +220,8 @@ def _label_logit(x, table, labels_model, bias=None):
 
 
 def _fwd(x, table, labels_model, row_offset, num_valid, bias=None):
-    m, l, _ = _fwd_stats(
-        x, table, None, jnp.zeros((), jnp.int32), row_offset, num_valid,
-        bias=bias,
+    m, l = _fwd_stats(
+        x, table, jnp.zeros((), jnp.int32), row_offset, num_valid, bias=bias
     )
     logz = m[:, 0] + jnp.log(l[:, 0])
     return logz, _label_logit(x, table, labels_model, bias=bias)
@@ -601,8 +577,8 @@ def _sharded_fwd_impl(
     brow = None
     if bias_full is not None:
         brow = _local_bias_row(bias_full, row_start, table_shard.shape[0])
-    m, l, _ = _fwd_stats(
-        xf, table_shard, None, row_start, row_offset, num_valid, bias=brow
+    m, l = _fwd_stats(
+        xf, table_shard, row_start, row_offset, num_valid, bias=brow
     )
     gmax = jax.lax.pmax(m, model_axis)  # (n, 1)
     total = jax.lax.psum(l * jnp.exp(m - gmax), model_axis)
