@@ -17,6 +17,10 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import os
+import signal
+import subprocess
+import sys
 import time
 
 import jax
@@ -50,16 +54,82 @@ BATCH = 256
 WARMUP = 10
 STEPS = 100
 
+# --tiny: CPU sanity mode (run by the outage path in a JAX_PLATFORMS=cpu
+# subprocess) — same code path, toy shapes, reports steps/s not a headline.
+TINY = "--tiny" in sys.argv
+
+
+def _probe_backend(timeout_s: int = 240):
+    """Return (ok, err). Backend init over the tunnel can HANG rather than
+    fail fast (probe logs show exit 124), so guard with SIGALRM, and force a
+    value fetch — only a fetch proves remote execution completed."""
+
+    def _raise(signum, frame):
+        raise TimeoutError(f"backend probe timed out after {timeout_s}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(timeout_s)
+    try:
+        import numpy as np
+
+        jax.devices()
+        y = (jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum()
+        float(np.asarray(y))
+        return True, None
+    except Exception as e:  # noqa: BLE001 — any init failure means "skip"
+        return False, f"{type(e).__name__}: {e}"
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _cpu_sanity() -> dict:
+    """Re-exec this bench with --tiny on the CPU backend to prove the train
+    step itself still runs when the chip is unreachable. PYTHONPATH must be
+    cleared so the axon sitecustomize doesn't override JAX_PLATFORMS."""
+    # Clear PYTHONPATH (drops the axon sitecustomize that overrides
+    # JAX_PLATFORMS) but keep the repo root importable.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--tiny"],
+            env=env, capture_output=True, text=True, timeout=600,
+        )
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        return {"cpu_sanity": json.loads(line)} if out.returncode == 0 else {
+            "cpu_sanity": None, "cpu_sanity_error": (out.stderr or "")[-400:]}
+    except Exception as e:  # noqa: BLE001
+        return {"cpu_sanity": None, "cpu_sanity_error": f"{type(e).__name__}: {e}"}
+
 
 def main():
+    if not TINY:
+        ok, err = _probe_backend()
+        if not ok:
+            rec = {
+                "metric": "train_examples_per_s_per_chip_beauty_4L256d",
+                "value": 0.0,
+                "unit": "examples/s",
+                "vs_baseline": 0.0,
+                "skipped": "tpu-unavailable",
+                "error": err,
+            }
+            rec.update(_cpu_sanity())
+            print(json.dumps(rec))
+            return
+
     from bert4clickpath_tpu.parallel.spmd import padded_vocab_rows
 
-    gen = ClickStreamGenerator(n_items=N_ITEMS, session_cohesiveness=200, seed=0)
+    n_items, batch, warmup, steps = (
+        (2048, 8, 1, 4) if TINY else (N_ITEMS, BATCH, WARMUP, STEPS)
+    )
+    gen = ClickStreamGenerator(n_items=n_items, session_cohesiveness=200, seed=0)
     vocab = gen.item_vocab()
     cfg = ModelConfig(
         # rows padded to the fused-CE kernel's vocab tile
         features={"items": FeatureConfig(padded_vocab_rows(vocab.model_vocab_size, 1), 256)},
-        num_layers=4,
+        num_layers=1 if TINY else 4,
         num_heads=4,
         ffn_dim=1024,
         dropout_rate=0.1,
@@ -71,9 +141,9 @@ def main():
 
     from bert4clickpath_tpu.data.cloze import stack_batches
 
-    items, _ = gen.generate_sessions(BATCH * 4)
+    items, _ = gen.generate_sessions(batch * 4)
     ds = ClozeDataset(items, vocab, max_items=50)
-    it = ds.train_batches(BATCH, seed=0)
+    it = ds.train_batches(batch, seed=0)
     host = [next(it) for _ in range(8)]
 
     def to_dev(b):
@@ -84,11 +154,11 @@ def main():
         }
 
     batches = [to_dev(b) for b in host]
-    # the driver's default training mode: one lax.scan dispatch per STEPS
+    # the driver's default training mode: one lax.scan dispatch per `steps`
     # steps, batches resident on device (cycled copies of the 8 host batches)
-    stacked = to_dev(stack_batches([host[i % len(host)] for i in range(STEPS)]))
+    stacked = to_dev(stack_batches([host[i % len(host)] for i in range(steps)]))
 
-    tcfg = TrainConfig(batch_size=BATCH)
+    tcfg = TrainConfig(batch_size=batch)
     params = model.init(
         {"params": jax.random.PRNGKey(0)},
         batches[0]["features"],
@@ -115,7 +185,7 @@ def main():
 
     import numpy as np
 
-    for i in range(WARMUP):
+    for i in range(warmup):
         state, loss = step(state, batches[i % len(batches)], rng)
     float(np.asarray(loss))  # value fetch forces real completion
 
@@ -129,7 +199,19 @@ def main():
         float(np.asarray(losses[-1]))
         dt = time.perf_counter() - t0
 
-    examples_per_s = BATCH * STEPS / dt
+    examples_per_s = batch * steps / dt
+    if TINY:
+        print(
+            json.dumps(
+                {
+                    "metric": "cpu_tiny_train_examples_per_s",
+                    "value": round(examples_per_s, 1),
+                    "unit": "examples/s",
+                    "final_loss": round(float(np.asarray(losses[-1])), 4),
+                }
+            )
+        )
+        return
     print(
         json.dumps(
             {

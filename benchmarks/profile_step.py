@@ -57,6 +57,8 @@ def main(argv=None):
     p.add_argument("--embed_impl", default="xla", choices=["xla", "pallas"])
     p.add_argument("--mu_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--qkv_fused", action="store_true")
+    p.add_argument("--tied_bias", action="store_true",
+                   help="smoke/measure the bias variants of the CE kernels")
     p.add_argument("--ce_row_tile", type=int, default=0, help="fused-CE Tn override")
     p.add_argument("--ce_vocab_tile", type=int, default=0, help="fused-CE Tv override")
     p.add_argument("--logdir", default="/tmp/profile_step")
@@ -78,7 +80,8 @@ def main(argv=None):
         ffn_dim=4 * args.d_model,
         dropout_rate=args.dropout,
         max_len=53,
-        head=HeadConfig("tied_softmax", output_size=vocab.label_vocab_size),
+        head=HeadConfig("tied_softmax", output_size=vocab.label_vocab_size,
+                        tied_bias=args.tied_bias),
         dtype="bfloat16" if jax.default_backend() == "tpu" else "float32",
         qkv_fused=args.qkv_fused,
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import gzip
 import json
+import warnings
 from typing import Iterable, Tuple
 
 import numpy as np
@@ -97,15 +98,30 @@ def load_amazon_json(
     users: list[str] = []
     items: list[str] = []
     times: list[int] = []
+    skipped = 0
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rt") as f:
         for line in f:
             if not line.strip():
                 continue
             rec = json.loads(line)
-            users.append(str(rec["reviewerID"]))
-            items.append(str(rec["asin"]))
-            times.append(int(rec["unixReviewTime"]))
+            # tolerate records missing the required keys (the reference's
+            # pandas use_columns path carried them as NaN rows rather than
+            # aborting, data_prep/main.py:9-42): skip and report, so one
+            # malformed line can't kill a multi-GB ingestion
+            try:
+                u, a, t = rec["reviewerID"], rec["asin"], rec["unixReviewTime"]
+            except KeyError:
+                skipped += 1
+                continue
+            users.append(str(u))
+            items.append(str(a))
+            times.append(int(t))
+    if skipped:
+        warnings.warn(
+            f"load_amazon_json: skipped {skipped} record(s) missing "
+            "reviewerID/asin/unixReviewTime"
+        )
     if min_item_per_user:
         counts: dict[str, int] = {}
         for u in users:

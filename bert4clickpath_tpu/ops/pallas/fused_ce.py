@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import functools
 import os
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -56,11 +57,22 @@ def _interpret() -> bool:
 # Mosaic-invalid grid.
 _ROW_TILE_ENV = "B4CP_CE_ROW_TILE"
 _VOCAB_TILE_ENV = "B4CP_CE_VOCAB_TILE"
-_MAX_SCORE_TILE_BYTES = 8 << 20  # Tn(max 512) × Tv × 4B
+_MAX_SCORE_TILE_BYTES = 8 << 20  # Tn(max 512) × Tv × 4B + 2× (Tv, D) bf16
+
+
+def _env_int(name: str) -> int:
+    """Parse an int env override; a malformed value is reported and ignored
+    (0 = no override) rather than raising an uncontextualized ValueError."""
+    raw = os.environ.get(name, "0")
+    try:
+        return int(raw)
+    except ValueError:
+        warnings.warn(f"ignoring malformed {name}={raw!r} (expected an int)")
+        return 0
 
 
 def _row_tile(n: int) -> int:
-    t0 = int(os.environ.get(_ROW_TILE_ENV, "0"))
+    t0 = _env_int(_ROW_TILE_ENV)
     if 0 < t0 <= 512 and t0 % 8 == 0 and n % t0 == 0:
         return t0
     for t in (512, 256, 128, 64, 32, 16, 8):
@@ -78,13 +90,16 @@ def padded_rows(v: int) -> int:
     return v + (-v % (1024 if v > 4096 else 128))
 
 
-def _vocab_tile(v: int) -> int:
-    t0 = int(os.environ.get(_VOCAB_TILE_ENV, "0"))
+def _vocab_tile(v: int, d: int) -> int:
+    t0 = _env_int(_VOCAB_TILE_ENV)
     if (
         t0 >= 128
         and t0 % 128 == 0
         and v % t0 == 0
-        and 512 * t0 * 4 <= _MAX_SCORE_TILE_BYTES
+        # f32 (Tn<=512, Tv) score tile + double-buffered (Tv, D) bf16 weight
+        # blocks — the weight term scales with D, so a Tv that fits at
+        # D=256 could OOM VMEM at wide D without this term
+        and 512 * t0 * 4 + 2 * t0 * d * 2 <= _MAX_SCORE_TILE_BYTES
     ):
         return t0
     # 1024 keeps the (Tn, Tv) f32 score tile + double-buffered w tiles under
@@ -173,7 +188,7 @@ def _fwd_stats(x, table, row_start, row_offset, num_valid, bias=None):
     """
     n, d = x.shape
     v = table.shape[0]
-    tn, tv = _row_tile(n), _vocab_tile(v)
+    tn, tv = _row_tile(n), _vocab_tile(v, d)
     grid = (n // tn, v // tv)
     kernel = functools.partial(
         _fwd_kernel, tv=tv, row_offset=row_offset, num_valid=num_valid,
@@ -207,16 +222,22 @@ def _fwd_stats(x, table, row_start, row_offset, num_valid, bias=None):
     return m, l
 
 
-def _label_logit(x, table, labels_model, bias=None):
+def _label_logit(x, table, labels_model, row_offset, num_valid, bias=None):
     """Label logit via one (N, D) row-gather + row-dot — same MXU-dtype math
     as the in-kernel one-hot pick (bf16 operands, f32 accumulation). Pad rows
-    (labels_model -1) read row 0; callers mask their nll to 0."""
-    lab = jnp.maximum(labels_model[:, 0], 0)
+    (labels_model -1) read row 0; callers mask their nll to 0. Labels outside
+    [row_offset, row_offset+num_valid) are blinded to NEG_BIG, preserving the
+    in-kernel one-hot's behavior (it never fired for excluded rows): an OOV
+    label yields a ~1e30 nll and fails loudly instead of silently gathering a
+    row excluded from the partition function."""
+    lab_m = labels_model[:, 0]
+    lab = jnp.maximum(lab_m, 0)
     w_rows = table[lab].astype(x.dtype)
     g = jnp.einsum("nd,nd->n", x, w_rows, preferred_element_type=jnp.float32)
     if bias is not None:
         g = g + bias[0, lab]
-    return g
+    in_range = (lab_m >= row_offset) & (lab_m < row_offset + num_valid)
+    return jnp.where(in_range, g, NEG_BIG)
 
 
 def _fwd(x, table, labels_model, row_offset, num_valid, bias=None):
@@ -224,7 +245,7 @@ def _fwd(x, table, labels_model, row_offset, num_valid, bias=None):
         x, table, jnp.zeros((), jnp.int32), row_offset, num_valid, bias=bias
     )
     logz = m[:, 0] + jnp.log(l[:, 0])
-    return logz, _label_logit(x, table, labels_model, bias=bias)
+    return logz, _label_logit(x, table, labels_model, row_offset, num_valid, bias=bias)
 
 
 # -- backward kernel ------------------------------------------------------
@@ -322,7 +343,7 @@ def _bwd(x, table, labels_model, logz, dnll, row_offset, num_valid,
          row_start=None, bias=None):
     n, d = x.shape
     v = table.shape[0]
-    tn, tv = _row_tile(n), _vocab_tile(v)
+    tn, tv = _row_tile(n), _vocab_tile(v, d)
     if row_start is None:
         row_start = jnp.zeros((), jnp.int32)
     row_start = jnp.reshape(row_start.astype(jnp.int32), (1, 1))
@@ -597,6 +618,13 @@ def _sharded_fwd_impl(
     if brow is not None:
         g_loc = g_loc + brow[0, idx]
     label_logit = jax.lax.psum(jnp.where(in_shard, g_loc, 0.0), model_axis)
+    # blind labels outside [row_offset, row_offset+num_valid) — same loud
+    # OOV failure as _label_logit (the old in-kernel one-hot never fired
+    # for excluded rows, so an OOV label must not yield a plausible nll)
+    in_range = (lab_model[:, 0] >= row_offset) & (
+        lab_model[:, 0] < row_offset + num_valid
+    )
+    label_logit = jnp.where(in_range, label_logit, NEG_BIG)
     mask = (labf != LABEL_PAD).astype(jnp.float32)
     total_loss = jnp.sum((logz - label_logit) * mask)
     count = jnp.sum(mask)
@@ -770,7 +798,7 @@ def _bwd_fused(x, table, labels_model, logz, dnll, row_offset, num_valid,
                row_start=None, bias=None):
     n, d = x.shape
     v = table.shape[0]
-    tn, tv = _row_tile(n), _vocab_tile(v)
+    tn, tv = _row_tile(n), _vocab_tile(v, d)
     if row_start is None:
         row_start = jnp.zeros((), jnp.int32)
     row_start = jnp.reshape(row_start.astype(jnp.int32), (1, 1))

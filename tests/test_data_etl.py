@@ -265,3 +265,32 @@ def test_prepare_data_amazon_json_cli(tmp_path):
 
     seqs = list(etl.read_packed(str(out / "sequences_*.npz")))
     assert len(seqs) == 3  # u0,u1,u2 all have >=2 reviews
+
+
+def test_amazon_json_skips_malformed_records(tmp_path):
+    """A record missing reviewerID/asin/unixReviewTime is skipped with a
+    warning (the reference's pandas use_columns carried NaN rows instead of
+    aborting, data_prep/main.py:9-42) — one bad line must not kill the run."""
+    import gzip
+    import json
+
+    import numpy as np
+    import pytest
+
+    from bert4clickpath_tpu.data.beauty import load_amazon_json
+
+    recs = [
+        {"reviewerID": "u1", "asin": "a", "unixReviewTime": 100},
+        {"asin": "ghost", "unixReviewTime": 1},  # no reviewerID
+        {"reviewerID": "u1", "unixReviewTime": 2},  # no asin
+        {"reviewerID": "u1", "asin": "b", "unixReviewTime": 200},
+    ]
+    p = tmp_path / "reviews.json.gz"
+    with gzip.open(p, "wt") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+    with pytest.warns(UserWarning, match="skipped 2 record"):
+        seqs, vocab = load_amazon_json(str(p), min_item_per_user=2, max_seq_len=50)
+    assert vocab.tokens == ["a", "b"]
+    assert [list(map(vocab.decode_label, np.asarray(s))) for s in seqs] == [["a", "b"]]

@@ -152,3 +152,66 @@ def test_sharded_fused_matches_dense():
     np.testing.assert_allclose(float(loss), float(want), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(wgx), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gt), np.asarray(wgt), rtol=1e-4, atol=1e-6)
+
+
+def test_oov_label_fails_loudly():
+    # A label >= num_valid maps to a table row excluded from the partition
+    # function; the hoisted label-pick must blind it to -1e30 (matching the
+    # old in-kernel one-hot that never fired) so the nll is absurdly large,
+    # not silently plausible.
+    x, table, labels = _case()
+    labels = labels.at[0].set(50)  # >= num_valid=40, < v=64: a real table row
+    nll = fused_softmax_ce(x, table, labels, NUM_RESERVED_TOKENS, 40)
+    assert float(nll[0]) > 1e20
+    # the rest of the batch is unaffected
+    want = _dense_nll(x, table, labels, 40)
+    np.testing.assert_allclose(
+        np.asarray(nll)[1:], np.asarray(want)[1:], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_malformed_tile_env_ignored(monkeypatch):
+    monkeypatch.setenv("B4CP_CE_VOCAB_TILE", "not-an-int")
+    monkeypatch.setenv("B4CP_CE_ROW_TILE", "1e3")
+    x, table, labels = _case()
+    with pytest.warns(UserWarning, match="malformed"):
+        nll = fused_softmax_ce(x, table, labels, NUM_RESERVED_TOKENS, 40)
+    want = _dense_nll(x, table, labels, 40)
+    np.testing.assert_allclose(np.asarray(nll), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_oov_label_fails_loudly():
+    """Sharded path: an OOV label (>= num_valid) must blind to -1e30 and
+    explode the loss, same as the single-chip path."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from bert4clickpath_tpu.config import MeshConfig
+    from bert4clickpath_tpu.ops.pallas.fused_ce import sharded_fused_softmax_ce
+    from bert4clickpath_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    rng = np.random.default_rng(7)
+    v, d, nv = 512, 16, 400
+    x = jnp.asarray(rng.normal(size=(4, 8, d)), jnp.float32)
+    table = jnp.asarray(rng.normal(size=(v, d)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, nv, size=(4, 8)), jnp.int32)
+    labels = labels.at[1, 2].set(nv + 5)  # OOV: a real table row beyond num_valid
+
+    def f(x, t, lbl):
+        return sharded_fused_softmax_ce(
+            x, t, lbl, NUM_RESERVED_TOKENS, nv, "model", "data"
+        )
+
+    loss = jax.jit(
+        jax.shard_map(
+            f,
+            mesh=mesh,
+            in_specs=(P("data", None, None), P("model", None), P("data", None)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )(x, table, labels)
+    assert float(loss) > 1e20
