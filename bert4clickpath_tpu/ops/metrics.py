@@ -102,6 +102,9 @@ def masked_metric(fn, name: str):
             "top3_acc",
         )
         stats = top3(logits, labels)   # {"n": ..., "top3_acc_sum": ...}
+
+    For metrics that are NOT a per-position mean (AUC's bucketed confusion
+    counts, histogram quantiles, ...), use :func:`masked_stateful_metric`.
     """
 
     def stats_fn(logits: jnp.ndarray, labels: jnp.ndarray) -> dict:
@@ -115,6 +118,71 @@ def masked_metric(fn, name: str):
         return {"n": jnp.sum(mask), f"{name}_sum": jnp.sum(vals * mask)}
 
     return stats_fn
+
+
+def masked_stateful_metric(fn):
+    """Pad-masked wrapper for metrics with arbitrary (vector) accumulators.
+
+    Covers the other half of the reference's ``MaskedMetric`` contract
+    (metrics.py:89-106): Keras metrics like ``tf.keras.metrics.AUC`` keep
+    internal STATE (per-threshold confusion buckets) rather than a maskable
+    per-position value, and MaskedMetric forwarded the pad mask as their
+    sample_weight. The streaming analogue: ``fn(logits, labels, mask) ->
+    dict`` of sum-reducible arrays (scalars or vectors — :func:`merge` and
+    :func:`psum_stats` add elementwise either way); this wrapper adds the
+    masked-position count ``n``. Read results out with a matching finalizer
+    (:func:`finalize` knows the built-in accumulator families, e.g. the
+    ``auc_*`` keys from :func:`auc_stats`).
+    """
+
+    def stats_fn(logits: jnp.ndarray, labels: jnp.ndarray) -> dict:
+        mask = _mask(labels)
+        stats = dict(fn(logits, labels, mask))
+        stats.setdefault("n", jnp.sum(mask))
+        return stats
+
+    return stats_fn
+
+
+def auc_stats(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    num_thresholds: int = 200,
+) -> dict[str, jnp.ndarray]:
+    """Streaming ROC-AUC accumulators for binary (B, P) logits.
+
+    The stateful metric the reference ran through MaskedMetric
+    (``MaskedMetric(AUC, ...)``, metrics.py:89-106): per-threshold
+    TP/FP/FN/TN counts over ``sigmoid(logit)``, thresholds laid out like
+    Keras AUC (num_thresholds - 2 evenly spaced in (0, 1) plus -eps/1+eps
+    endpoints). The four (T,) vectors merge/psum elementwise like every
+    other accumulator; :func:`finalize` turns them into trapezoidal ROC-AUC.
+    """
+
+    def fn(logits, labels, mask):
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        eps = 1e-7
+        inner = (jnp.arange(1, num_thresholds - 1, dtype=jnp.float32)) / (
+            num_thresholds - 1
+        )
+        thr = jnp.concatenate(
+            [jnp.asarray([-eps]), inner, jnp.asarray([1.0 + eps])]
+        )  # (T,)
+        labels_f = jnp.where(mask > 0, labels.astype(jnp.float32), 0.0)
+        flat_p, flat_y, flat_m = probs.ravel(), labels_f.ravel(), mask.ravel()
+        pred = (flat_p[None, :] > thr[:, None]).astype(jnp.float32)  # (T, N)
+        tp = jnp.sum(pred * (flat_y * flat_m)[None, :], axis=1)
+        fp = jnp.sum(pred * ((1.0 - flat_y) * flat_m)[None, :], axis=1)
+        pos = jnp.sum(flat_y * flat_m)
+        neg = jnp.sum((1.0 - flat_y) * flat_m)
+        return {
+            "auc_tp": tp,
+            "auc_fp": fp,
+            "auc_fn": pos - tp,
+            "auc_tn": neg - fp,
+        }
+
+    return masked_stateful_metric(fn)(logits, labels)
 
 
 def merge(*stats: Mapping[str, jnp.ndarray]) -> dict:
@@ -143,4 +211,19 @@ def finalize(stats: Mapping[str, jnp.ndarray]) -> dict[str, float]:
         tp = float(stats["tp_sum"])
         denom_f1 = float(stats["positives_sum"]) + float(stats["pred_positives_sum"])
         out["f1"] = 2.0 * tp / denom_f1 if denom_f1 > 0 else 0.0
+    # Stateful-accumulator families (masked_stateful_metric): bucketed ROC-AUC
+    # from auc_stats' per-threshold confusion counts, trapezoidal like Keras
+    if "auc_tp" in stats:
+        import numpy as np
+
+        tp = np.asarray(stats["auc_tp"], np.float64)
+        fp = np.asarray(stats["auc_fp"], np.float64)
+        fn_ = np.asarray(stats["auc_fn"], np.float64)
+        tn = np.asarray(stats["auc_tn"], np.float64)
+        tpr = tp / np.maximum(tp + fn_, 1e-12)
+        fpr = fp / np.maximum(fp + tn, 1e-12)
+        # thresholds ascend -> (fpr, tpr) descend; trapezoid over the ROC
+        out["auc"] = float(
+            np.sum((fpr[:-1] - fpr[1:]) * (tpr[:-1] + tpr[1:]) / 2.0)
+        )
     return out

@@ -110,3 +110,46 @@ def test_masked_metric_generic_wrapper():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_auc_streaming_matches_sklearn():
+    """auc_stats (the stateful-accumulator analogue of the reference's
+    MaskedMetric(AUC), metrics.py:89-106) agrees with sklearn's exact
+    roc_auc_score to bucket resolution, streams via merge across batches,
+    and excludes pad positions."""
+    import jax.numpy as jnp
+
+    from bert4clickpath_tpu.constants import LABEL_PAD
+    from bert4clickpath_tpu.ops.metrics import auc_stats, finalize, merge
+
+    sklearn = pytest.importorskip("sklearn.metrics")
+    rng = np.random.default_rng(0)
+    n = 512
+    y = rng.integers(0, 2, size=n)
+    # informative but noisy scores so AUC is strictly between 0.5 and 1
+    logit = 1.5 * (2.0 * y - 1.0) + rng.normal(size=n)
+    want = sklearn.roc_auc_score(y, 1.0 / (1.0 + np.exp(-logit)))
+
+    logits = jnp.asarray(logit.reshape(4, 8, 16), jnp.float32)
+    labels = jnp.asarray(y.reshape(4, 8, 16), jnp.int32)
+    stats = None
+    for b in range(4):  # stream batch-by-batch, accumulate with merge
+        s = auc_stats(logits[b], labels[b])
+        stats = s if stats is None else merge(stats, s)
+    got = finalize({k: np.asarray(v) for k, v in stats.items()})
+    assert got["n"] == n
+    assert np.isclose(got["auc"], want, atol=5e-3)
+
+    # pad positions are excluded: padding half the labels changes the count
+    # and matches sklearn on the surviving half
+    labels_pad = np.array(labels[0])
+    labels_pad[:, 8:] = LABEL_PAD
+    s = auc_stats(logits[0], jnp.asarray(labels_pad))
+    keep = labels_pad != LABEL_PAD
+    want_half = sklearn.roc_auc_score(
+        np.asarray(labels[0])[keep],
+        1.0 / (1.0 + np.exp(-np.asarray(logits[0])[keep])),
+    )
+    out = finalize({k: np.asarray(v) for k, v in s.items()})
+    assert out["n"] == keep.sum()
+    assert np.isclose(out["auc"], want_half, atol=1e-2)
