@@ -114,19 +114,32 @@ def shard_batch(batch: dict, mesh: Mesh, config: ModelConfig) -> dict:
     )
 
 
-def _check_spmd_supported(config: ModelConfig) -> None:
+def _check_spmd_supported(
+    config: ModelConfig, attn_impl: str = "xla", dropout_impl: str = "xla"
+) -> None:
     """The vocab-sharded step requires the tied head (the projection shards
     with the table). Every other model feature — tied transform, tied_bias,
     segment embeddings, segment routing — is wired; MLP-head configs use the
     pure data-parallel tier (make_dp_train_step) instead, matching the
-    reference's MirroredStrategy scope (source/main.py:46-57)."""
-    assert config.head.kind == "tied_softmax", (
-        "the vocab-sharded SPMD step uses the tied head; for MLP-softmax/"
-        "binary/multilabel heads use make_dp_train_step (pure data parallel)"
+    reference's MirroredStrategy scope (source/main.py:46-57). The full
+    contract lives in parallel/support.py (one table for every tier)."""
+    from bert4clickpath_tpu.parallel.support import validate_tier
+
+    validate_tier(
+        "spmd",
+        config.head.kind,
+        attn_impl=attn_impl,
+        dropout_impl=dropout_impl,
+        qkv_fused=config.qkv_fused,
     )
 
 
-def _encoder_module(config: ModelConfig, remat: bool = False) -> Encoder:
+def _encoder_module(
+    config: ModelConfig,
+    remat: bool = False,
+    attn_impl: str = "xla",
+    dropout_impl: str = "xla",
+) -> Encoder:
     dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
     return Encoder(
         num_layers=config.num_layers,
@@ -135,7 +148,9 @@ def _encoder_module(config: ModelConfig, remat: bool = False) -> Encoder:
         ffn_dim=config.ffn_dim,
         dropout_rate=config.dropout_rate,
         dtype=dtype,
+        attn_impl=attn_impl,
         remat=remat,
+        dropout_impl=dropout_impl,
         qkv_fused=config.qkv_fused,
     )
 
@@ -274,6 +289,8 @@ def make_spmd_train_step(
     remat: bool = False,
     ema_decay: float = 0.0,
     steps_per_call: int = 1,
+    attn_impl: str = "xla",
+    dropout_impl: str = "xla",
 ):
     """Jitted sharded train step: (state, batch, rng) -> (state, loss).
 
@@ -282,9 +299,11 @@ def make_spmd_train_step(
     maintains the EMA shadow (sharded like params). steps_per_call > 1
     returns the scan variant over a (K, B, ...) stacked batch (one dispatch
     per K steps; shard inputs with :func:`shard_stacked_batch`).
+    attn_impl/dropout_impl select the encoder kernels (Pallas runs per-device
+    inside shard_map — see parallel/support.py for the full tier matrix).
     """
-    _check_spmd_supported(config)
-    encoder = _encoder_module(config, remat)
+    _check_spmd_supported(config, attn_impl, dropout_impl)
+    encoder = _encoder_module(config, remat, attn_impl, dropout_impl)
     facade = ClickstreamModel(config)
 
     def step(state: TrainState, batch, rng):
@@ -378,10 +397,11 @@ def make_spmd_eval_step(
     mesh: Mesh,
     label_vocab_size: int,
     ks=(5, 10),
+    attn_impl: str = "xla",
 ):
     """Jitted sharded eval step: (params, batch) -> stats sums dict."""
-    _check_spmd_supported(config)
-    encoder = _encoder_module(config)
+    _check_spmd_supported(config, attn_impl)
+    encoder = _encoder_module(config, attn_impl=attn_impl)
     facade = ClickstreamModel(config)
 
     def step(params, batch):
@@ -520,6 +540,16 @@ def make_dp_train_step(
     the psum-outside-autodiff reduction is unchanged, so the gradient stays
     exactly the global mean.
     """
+    from bert4clickpath_tpu.parallel.support import validate_tier
+
+    validate_tier(
+        "dp",
+        model.config.head.kind,
+        attn_impl=model.attn_impl,
+        dropout_impl=model.dropout_impl,
+        embed_impl=getattr(model, "embed_impl", "xla"),
+        qkv_fused=model.config.qkv_fused,
+    )
     if fused_ce_num_valid is not None:
         assert model.config.head.kind in ("tied_softmax", "softmax"), (
             "fused_ce_num_valid requires a softmax-family head"
@@ -716,7 +746,20 @@ def make_sampled_spmd_train_step(
     The very-large-catalog composition: table/optimizer memory scales down
     with the model axis while the per-step loss stays O(N·S·D).
     """
+    from bert4clickpath_tpu.parallel.support import validate_tier
     from bert4clickpath_tpu.training.train_state import make_train_step
+
+    # pjit auto-sharding: Pallas impls have no partitioning rules here
+    # (parallel/support.py carries the full tier matrix)
+    validate_tier(
+        "sampled_spmd",
+        model.config.head.kind,
+        attn_impl=model.attn_impl,
+        dropout_impl=model.dropout_impl,
+        embed_impl=getattr(model, "embed_impl", "xla"),
+        qkv_fused=model.config.qkv_fused,
+        sampled=num_samples,
+    )
 
     step = make_train_step(
         model,

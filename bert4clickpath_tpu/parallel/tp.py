@@ -113,6 +113,8 @@ def tp_state_specs(state: TrainState, config: ModelConfig) -> TrainState:
 
 
 def _check_tp_supported(model, mesh: Mesh) -> None:
+    from bert4clickpath_tpu.parallel.support import validate_tier
+
     shards = mesh.shape[MODEL_AXIS]
     cfg = model.config
     if cfg.num_heads % shards:
@@ -123,21 +125,16 @@ def _check_tp_supported(model, mesh: Mesh) -> None:
         raise ValueError(
             f"ffn_dim {cfg.ffn_dim} not divisible by model axis {shards}"
         )
-    if cfg.qkv_fused:
-        raise ValueError(
-            "tensor-parallel tier requires qkv_fused=False (column-split "
-            "specs are per-projection: wq/wk/wv)"
-        )
-    if model.attn_impl == "pallas" or model.dropout_impl == "pallas" or (
-        getattr(model, "embed_impl", "xla") == "pallas"
-    ):
-        # Pallas kernels have no SPMD partitioning rules; auto-sharding
-        # would replicate (or reject) them. The XLA paths partition cleanly.
-        raise ValueError(
-            "tensor-parallel tier requires attn/dropout/embed impl 'xla' "
-            "or 'xla_4d' (Pallas kernels don't auto-partition; the sharded "
-            "kernel path is parallel/spmd.py)"
-        )
+    # feature exclusions (qkv_fused, Pallas impls) live in the shared tier
+    # matrix — parallel/support.py — so every tier errors consistently
+    validate_tier(
+        "tp",
+        cfg.head.kind,
+        attn_impl=model.attn_impl,
+        dropout_impl=model.dropout_impl,
+        embed_impl=getattr(model, "embed_impl", "xla"),
+        qkv_fused=cfg.qkv_fused,
+    )
 
 
 def shard_tp_state(state: TrainState, mesh: Mesh, config: ModelConfig) -> TrainState:

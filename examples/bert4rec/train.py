@@ -342,11 +342,21 @@ def main(argv=None):
     )
     n_dev = len(jax.devices())
     use_dp = args.parallel == "dp" or (args.parallel == "auto" and n_dev > 1)
-    if args.sampled_softmax and use_dp:
-        raise SystemExit(
-            "--sampled_softmax is single-device only (use --parallel none); "
-            "the DP tier reduces exact fused-CE sums"
+    # validate the (tier × head × impl × sampled) combination up front
+    # against the shared support matrix (parallel/support.py) — fail before
+    # any step is built, not on first dispatch
+    from bert4clickpath_tpu.parallel.support import validate_tier
+
+    try:
+        validate_tier(
+            "dp" if use_dp else "single",
+            cfg.head.kind,
+            attn_impl=args.attn_impl,
+            qkv_fused=cfg.qkv_fused,
+            sampled=args.sampled_softmax,
         )
+    except ValueError as e:
+        raise SystemExit(str(e))
     if args.sampled_softmax and not fused_num_valid:
         raise SystemExit(
             "--sampled_softmax requires a softmax-family head (tied preset "
