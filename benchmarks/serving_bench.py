@@ -94,7 +94,9 @@ def main():
             [names[i] for i in rng.integers(0, len(names), size=args.session_len)]
             for _ in range(bs)
         ]
-        served.recommend(sessions, k=args.k)  # compile + warm
+        t0 = time.perf_counter()
+        served.recommend(sessions, k=args.k)  # cold: XLA compile + run
+        cold_ms = (time.perf_counter() - t0) * 1e3
         lat = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
@@ -108,6 +110,7 @@ def main():
                     "k": args.k,
                     "p50_ms": round(float(np.percentile(lat, 50)), 2),
                     "p95_ms": round(float(np.percentile(lat, 95)), 2),
+                    "cold_ms": round(cold_ms, 1),
                     "sessions_per_s": round(bs / (np.percentile(lat, 50) / 1e3), 1),
                     "catalog": args.items if not args.export_dir else "export",
                 }

@@ -36,9 +36,20 @@ def _bucket(b: int) -> int:
 
 
 class ServingModel:
-    """Load an exported bundle and score item sequences from raw strings."""
+    """Load an exported bundle and score item sequences from raw strings.
 
-    def __init__(self, export_dir: str):
+    ``warmup_batches``: compile the scoring program for these client batch
+    sizes at load time (each is rounded up to its power-of-two bucket).
+    Without it the first request at each bucket pays a full XLA compile
+    (~seconds) — measured as the cold column in BASELINE.md's serving table.
+    """
+
+    def __init__(
+        self,
+        export_dir: str,
+        warmup_batches: Sequence[int] = (),
+        warmup_k: int = 10,
+    ):
         export_dir = os.path.abspath(export_dir)
         with open(os.path.join(export_dir, "model_config.json")) as f:
             self.config = ModelConfig.from_json(f.read())
@@ -86,6 +97,15 @@ class ServingModel:
         self._catalog = (jnp.asarray(table), None if bias is None else jnp.asarray(bias))
         self._catalog_base_rows = base_rows
         self._topk = jax.jit(self._make_topk(), static_argnums=(5,))
+        if warmup_batches:
+            self.warmup(warmup_batches, k=warmup_k)
+
+    def warmup(self, batch_sizes: Sequence[int], k: int = 10) -> None:
+        """Pre-compile the scoring program for each batch bucket by scoring
+        all-empty sessions (the pad-row construction recommend() already
+        uses), so live requests never hit a cold XLA compile."""
+        for bs in sorted({_bucket(b) for b in batch_sizes}):
+            self.recommend([[]] * bs, k=k)
 
     def _make_topk(self):
         """(params, table, bias, feats, (B,1) positions, k) ->

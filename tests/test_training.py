@@ -283,6 +283,22 @@ def test_chunked_eval_step_matches_dense():
     )
 
 
+def test_serving_warmup_precompiles_buckets(tmp_path):
+    ds, vocab, cfg, model = _setup("tied_softmax")
+    b0 = _to_device(next(ds.train_batches(8, seed=0)))
+    params = model.init({"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"])
+    export_dir = ckpt_lib.export_serving(
+        str(tmp_path / "export"), jax.device_get(params), cfg, {"items": vocab}
+    )
+    served = ServingModel(export_dir, warmup_batches=(3, 8), warmup_k=5)
+    # buckets 4 and 8 (and k=5) are compiled at load: a request inside a
+    # warmed bucket triggers no new trace
+    n_before = served._topk._cache_size()
+    recs = served.recommend([["item_0"], ["item_1"], ["item_2"]], k=5)
+    assert len(recs) == 3 and len(recs[0]) == 5
+    assert served._topk._cache_size() == n_before
+
+
 def test_serving_instance_id_passthrough(tmp_path):
     ds, vocab, cfg, model = _setup("tied_softmax")
     b0 = _to_device(next(ds.train_batches(8, seed=0)))
