@@ -57,7 +57,7 @@ def _interpret() -> bool:
 # Mosaic-invalid grid.
 _ROW_TILE_ENV = "B4CP_CE_ROW_TILE"
 _VOCAB_TILE_ENV = "B4CP_CE_VOCAB_TILE"
-_MAX_SCORE_TILE_BYTES = 8 << 20  # Tn(max 512) × Tv × 4B + 2× (Tv, D) bf16
+_MAX_SCORE_TILE_BYTES = 8 << 20  # see the backward-kernel budget in _vocab_tile
 
 
 def _env_int(name: str) -> int:
@@ -96,10 +96,14 @@ def _vocab_tile(v: int, d: int) -> int:
         t0 >= 128
         and t0 % 128 == 0
         and v % t0 == 0
-        # f32 (Tn<=512, Tv) score tile + double-buffered (Tv, D) bf16 weight
-        # blocks — the weight term scales with D, so a Tv that fits at
-        # D=256 could OOM VMEM at wide D without this term
-        and 512 * t0 * 4 + 2 * t0 * d * 2 <= _MAX_SCORE_TILE_BYTES
+        # The BACKWARD kernel is the binding constraint (measured on v5e:
+        # Tv=2048 at D=256 dies in Mosaic with "scoped vmem 21.12M > 16M"
+        # while the forward alone fits): f32 (Tn<=512, Tv) adjoint tile +
+        # double-buffered f32 (Tv, D) w blocks + double-buffered f32 (Tv, D)
+        # dw out-blocks. Budgeting those three terms keeps every accepted
+        # override Mosaic-compilable; Tv=1024 at D=256 (6 MB here) is the
+        # largest verified-good configuration.
+        and 512 * t0 * 4 + 4 * t0 * d * 4 <= _MAX_SCORE_TILE_BYTES
     ):
         return t0
     # 1024 keeps the (Tn, Tv) f32 score tile + double-buffered w tiles under

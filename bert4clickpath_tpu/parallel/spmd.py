@@ -291,6 +291,8 @@ def make_spmd_train_step(
     steps_per_call: int = 1,
     attn_impl: str = "xla",
     dropout_impl: str = "xla",
+    _encoder=None,
+    _specs_fn=None,
 ):
     """Jitted sharded train step: (state, batch, rng) -> (state, loss).
 
@@ -301,9 +303,18 @@ def make_spmd_train_step(
     per K steps; shard inputs with :func:`shard_stacked_batch`).
     attn_impl/dropout_impl select the encoder kernels (Pallas runs per-device
     inside shard_map — see parallel/support.py for the full tier matrix).
+
+    ``_encoder``/``_specs_fn`` are the composition hooks used by
+    :mod:`bert4clickpath_tpu.parallel.tp_spmd` (tensor-parallel encoder on
+    the same mesh): an object with the flax ``.apply`` call signature plus a
+    ``TrainState -> spec-tree`` function; the caller validates its own tier.
     """
-    _check_spmd_supported(config, attn_impl, dropout_impl)
-    encoder = _encoder_module(config, remat, attn_impl, dropout_impl)
+    if _encoder is None:
+        _check_spmd_supported(config, attn_impl, dropout_impl)
+        encoder = _encoder_module(config, remat, attn_impl, dropout_impl)
+    else:
+        encoder = _encoder
+    specs_fn = _specs_fn or (lambda st: state_specs(st, config))
     facade = ClickstreamModel(config)
 
     def step(state: TrainState, batch, rng):
@@ -378,7 +389,7 @@ def make_spmd_train_step(
         return new_state, loss
 
     def sharded(state, batch, rng):
-        s_specs = state_specs(state, config)
+        s_specs = specs_fn(state)
         return jax.shard_map(
             step,
             mesh=mesh,
@@ -389,7 +400,7 @@ def make_spmd_train_step(
 
     if steps_per_call <= 1:
         return jax.jit(sharded, donate_argnums=(0,))
-    return _scan_sharded(step, mesh, lambda st: state_specs(st, config), config)
+    return _scan_sharded(step, mesh, specs_fn, config)
 
 
 def make_spmd_eval_step(
@@ -398,10 +409,20 @@ def make_spmd_eval_step(
     label_vocab_size: int,
     ks=(5, 10),
     attn_impl: str = "xla",
+    _encoder=None,
+    _param_specs_fn=None,
 ):
-    """Jitted sharded eval step: (params, batch) -> stats sums dict."""
-    _check_spmd_supported(config, attn_impl)
-    encoder = _encoder_module(config, attn_impl=attn_impl)
+    """Jitted sharded eval step: (params, batch) -> stats sums dict.
+
+    ``_encoder``/``_param_specs_fn``: composition hooks for the
+    tensor-parallel variant (see :func:`make_spmd_train_step`).
+    """
+    if _encoder is None:
+        _check_spmd_supported(config, attn_impl)
+        encoder = _encoder_module(config, attn_impl=attn_impl)
+    else:
+        encoder = _encoder
+    param_specs_fn = _param_specs_fn or (lambda p: param_specs(p, config))
     facade = ClickstreamModel(config)
 
     def step(params, batch):
@@ -438,7 +459,7 @@ def make_spmd_eval_step(
         )
 
     def sharded(params, batch):
-        p_specs = param_specs(params, config)
+        p_specs = param_specs_fn(params)
         return jax.shard_map(
             step,
             mesh=mesh,

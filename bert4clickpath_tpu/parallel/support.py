@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-TIERS = ("single", "dp", "spmd", "tp", "sampled_spmd")
+TIERS = ("single", "dp", "spmd", "tp", "tp_spmd", "sampled_spmd")
 HEAD_KINDS = ("tied_softmax", "softmax", "binary", "multilabel")
 
 # Why-strings double as error messages and matrix footnotes.
@@ -61,6 +61,10 @@ _R_SPMD_EMBED = (
     "the single-device/DP lookup only"
 )
 _R_SSPMD_SAMPLES = "the sampled_spmd tier IS the sampled-softmax path (pass num_samples > 0)"
+_R_TPSPMD_ATTN = (
+    "the composed tp_spmd tier runs the per-head lane-slice attention on "
+    "each shard's H/S heads; Pallas kernels are not head-sharded"
+)
 
 # rules[tier][feature] -> None (supported) | reason string (rejected).
 # Features: per head kind, the three pallas impls, qkv_fused, sampled.
@@ -82,6 +86,16 @@ RULES: dict[str, dict[str, Optional[str]]] = {
         "qkv_fused": _R_TP_QKV,
         "sampled": _R_SAMPLED_TP,
     },
+    "tp_spmd": {
+        "head:softmax": _R_SPMD_HEAD,
+        "head:binary": _R_SPMD_HEAD,
+        "head:multilabel": _R_SPMD_HEAD,
+        "attn:pallas": _R_TPSPMD_ATTN,
+        "dropout:pallas": _R_TPSPMD_ATTN,
+        "embed:pallas": _R_SPMD_EMBED,
+        "qkv_fused": _R_TP_QKV,
+        "sampled": _R_SAMPLED_SPMD,
+    },
     "sampled_spmd": {
         "head:binary": _R_SAMPLED_HEAD,
         "head:multilabel": _R_SAMPLED_HEAD,
@@ -92,7 +106,7 @@ RULES: dict[str, dict[str, Optional[str]]] = {
     },
 }
 # sampled softmax additionally requires a softmax-family head on EVERY tier
-for _t in ("single", "dp", "spmd", "tp", "sampled_spmd"):
+for _t in TIERS:
     RULES[_t].setdefault("sampled+head:binary", _R_SAMPLED_HEAD)
     RULES[_t].setdefault("sampled+head:multilabel", _R_SAMPLED_HEAD)
 

@@ -180,6 +180,21 @@ def test_malformed_tile_env_ignored(monkeypatch):
     np.testing.assert_allclose(np.asarray(nll), np.asarray(want), rtol=1e-5, atol=1e-6)
 
 
+def test_vocab_tile_override_respects_backward_vmem_budget(monkeypatch):
+    """Tv=2048 at D=256 is Mosaic-infeasible on v5e (the merged backward's
+    adjoint tile + f32 w/dw double buffers exceed the 16MB scoped-vmem
+    limit — measured, round 4); the env override must fall back to the
+    default rather than hand Mosaic an uncompilable grid. Tv=1024 (the
+    verified-good config) must be honored."""
+    from bert4clickpath_tpu.ops.pallas.fused_ce import _vocab_tile
+
+    monkeypatch.setenv("B4CP_CE_VOCAB_TILE", "2048")
+    assert _vocab_tile(55_296, 256) == 1024  # rejected -> default
+    assert _vocab_tile(55_296, 64) == 2048  # narrow D: fits, honored
+    monkeypatch.setenv("B4CP_CE_VOCAB_TILE", "1024")
+    assert _vocab_tile(55_296, 256) == 1024
+
+
 def test_sharded_oov_label_fails_loudly():
     """Sharded path: an OOV label (>= num_valid) must blind to -1e30 and
     explode the loss, same as the single-chip path."""

@@ -1079,3 +1079,204 @@ def test_sampled_spmd_matches_single_device():
         got.append(float(loss))
     np.testing.assert_allclose(got, want, rtol=2e-4)
     assert int(np.asarray(state.step)) == 3
+
+
+# -- composed TP x vocab-sharded tier (parallel/tp_spmd.py) -----------------
+
+
+def _tp_spmd_setup(n_items=22, d=16, mesh_shape=(4, 2)):
+    """Like _spmd_setup but on a (4, 2) mesh (num_heads=2 must divide the
+    model axis for the head-parallel attention split)."""
+    mesh = _mesh(*mesh_shape)
+    gen = ClickStreamGenerator(n_items=n_items, session_cohesiveness=200, seed=0)
+    items, _ = gen.generate_sessions(64)
+    vocab = gen.item_vocab()
+    ds = ClozeDataset(items, vocab, max_items=20)
+    rows = spmd.padded_vocab_rows(vocab.model_vocab_size, mesh_shape[1])
+    cfg = ModelConfig(
+        features={"items": FeatureConfig(rows, d)},
+        num_layers=2,
+        num_heads=2,
+        ffn_dim=32,
+        max_len=23,
+        dropout_rate=0.0,  # exact single-vs-multi comparison
+        head=HeadConfig("tied_softmax"),
+    )
+    return mesh, ds, vocab, cfg
+
+
+def test_tp_spmd_train_step_matches_single_device():
+    """Composed tier loss at the same params == dense single-device loss."""
+    from bert4clickpath_tpu.parallel import tp_spmd
+
+    mesh, ds, vocab, cfg = _tp_spmd_setup()
+    model = ClickstreamModel(cfg)
+    b = _device_batch(next(ds.train_batches(8, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+    )["params"]
+    tx = make_optimizer(TrainConfig())
+    state = TrainState.create(params, tx)
+
+    logits = model.apply({"params": params}, b["features"], b["head_positions"])
+    dense = logits[..., : vocab.label_vocab_size]
+    want = float(masked_softmax_cross_entropy(dense, b["labels"]))
+
+    step = tp_spmd.make_tp_spmd_train_step(
+        cfg, mesh, tx, schedules.constant(1e-2), vocab.label_vocab_size
+    )
+    new_state, loss = step(
+        tp_spmd.shard_state(state, mesh, cfg),
+        spmd.shard_batch(b, mesh, cfg),
+        jax.random.PRNGKey(1),
+    )
+    np.testing.assert_allclose(float(loss), float(want), rtol=2e-4)
+    assert int(np.asarray(new_state.step)) == 1
+
+
+def test_tp_spmd_trajectory_matches_spmd_tier():
+    """3 steps of the composed tier == 3 steps of the replicated-encoder
+    SPMD tier (same mesh, params, batches): identical losses AND params —
+    i.e. the hand-written Megatron f/g VJPs produce exactly the replicated
+    gradient."""
+    from bert4clickpath_tpu.parallel import tp_spmd
+
+    mesh, ds, vocab, cfg = _tp_spmd_setup()
+    model = ClickstreamModel(cfg)
+    b0 = _device_batch(next(ds.train_batches(8, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"]
+    )["params"]
+    tx = make_optimizer(TrainConfig())
+    rng = jax.random.PRNGKey(1)
+    batches = [b0] + [
+        _device_batch(b)
+        for _, b in zip(range(2), ds.train_batches(8, seed=2))
+    ]
+
+    ref_step = spmd.make_spmd_train_step(
+        cfg, mesh, tx, schedules.constant(1e-2), vocab.label_vocab_size
+    )
+    ref_state = spmd.shard_state(
+        TrainState.create(jax.tree.map(jnp.copy, params), tx), mesh, cfg
+    )
+    want = []
+    for b in batches:
+        ref_state, loss = ref_step(ref_state, spmd.shard_batch(b, mesh, cfg), rng)
+        want.append(float(loss))
+
+    step = tp_spmd.make_tp_spmd_train_step(
+        cfg, mesh, tx, schedules.constant(1e-2), vocab.label_vocab_size
+    )
+    state = tp_spmd.shard_state(TrainState.create(params, tx), mesh, cfg)
+    got = []
+    for b in batches:
+        state, loss = step(state, spmd.shard_batch(b, mesh, cfg), rng)
+        got.append(float(loss))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def cmp(path, a, b):
+        # wk.bias is mathematically degenerate: a constant added to every
+        # key shifts each query's scores uniformly, which softmax cancels —
+        # its true gradient is exactly 0, so Adam amplifies fp roundoff
+        # (~1e-8, different between the two programs) into lr-sized steps
+        # in arbitrary directions. Skip it; everything else must match.
+        names = [str(getattr(k, "key", k)) for k in path]
+        if "wk" in names and "bias" in names:
+            return
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+            err_msg="/".join(names),
+        )
+
+    jax.tree_util.tree_map_with_path(
+        cmp, jax.device_get(state.params), jax.device_get(ref_state.params)
+    )
+
+
+def test_tp_spmd_eval_matches_spmd_tier():
+    from bert4clickpath_tpu.parallel import tp_spmd
+
+    mesh, ds, vocab, cfg = _tp_spmd_setup()
+    model = ClickstreamModel(cfg)
+    b = _device_batch(next(ds.train_batches(8, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+    )["params"]
+    want = spmd.make_spmd_eval_step(cfg, mesh, vocab.label_vocab_size)(
+        params, spmd.shard_batch(b, mesh, cfg)
+    )
+    got = tp_spmd.make_tp_spmd_eval_step(cfg, mesh, vocab.label_vocab_size)(
+        params, spmd.shard_batch(b, mesh, cfg)
+    )
+    for k in want:
+        np.testing.assert_allclose(
+            float(np.asarray(got[k])), float(np.asarray(want[k])), rtol=1e-5,
+            err_msg=k,
+        )
+
+
+def test_tp_spmd_scan_matches_sequential():
+    """steps_per_call=K on the composed tier == K sequential steps."""
+    from bert4clickpath_tpu.data.cloze import stack_batches
+    from bert4clickpath_tpu.parallel import tp_spmd
+
+    mesh, ds, vocab, cfg = _tp_spmd_setup()
+    model = ClickstreamModel(cfg)
+    raw = [b for _, b in zip(range(2), ds.train_batches(8, seed=0))]
+    b0 = _device_batch(raw[0])
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"]
+    )["params"]
+    tx = make_optimizer(TrainConfig())
+    rng = jax.random.PRNGKey(1)
+
+    seq_step = tp_spmd.make_tp_spmd_train_step(
+        cfg, mesh, tx, schedules.constant(1e-2), vocab.label_vocab_size
+    )
+    seq_state = tp_spmd.shard_state(
+        TrainState.create(jax.tree.map(jnp.copy, params), tx), mesh, cfg
+    )
+    seq_losses = []
+    for b in raw:
+        seq_state, loss = seq_step(
+            seq_state, spmd.shard_batch(_device_batch(b), mesh, cfg), rng
+        )
+        seq_losses.append(float(loss))
+
+    scan = tp_spmd.make_tp_spmd_train_step(
+        cfg, mesh, tx, schedules.constant(1e-2), vocab.label_vocab_size,
+        steps_per_call=2,
+    )
+    state = tp_spmd.shard_state(TrainState.create(params, tx), mesh, cfg)
+    stacked = spmd.shard_stacked_batch(
+        _device_batch(stack_batches(raw)), mesh, cfg
+    )
+    state, losses = scan(state, stacked, rng)
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        jax.device_get(state.params),
+        jax.device_get(seq_state.params),
+    )
+
+
+def test_tp_spmd_rejects_bad_combinations():
+    from bert4clickpath_tpu.parallel import tp_spmd
+
+    mesh, ds, vocab, cfg = _tp_spmd_setup()
+    import dataclasses
+
+    tx = make_optimizer(TrainConfig())
+    with pytest.raises(ValueError, match="qkv_fused"):
+        tp_spmd.make_tp_spmd_train_step(
+            dataclasses.replace(cfg, qkv_fused=True), mesh, tx,
+            schedules.constant(1e-2), vocab.label_vocab_size,
+        )
+    with pytest.raises(ValueError, match="num_heads"):
+        tp_spmd.make_tp_spmd_train_step(
+            dataclasses.replace(cfg, num_heads=3), mesh, tx,
+            schedules.constant(1e-2), vocab.label_vocab_size,
+        )
