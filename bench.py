@@ -136,6 +136,9 @@ def main():
         max_len=53,
         head=HeadConfig("tied_softmax", output_size=vocab.label_vocab_size),
         dtype="bfloat16",
+        # round-4 device traces: one (D, 3D) projection saves 0.10 ms/step
+        # (7.54 vs 7.64) at this narrow-D shape (KERNELS.md round 4)
+        qkv_fused=True,
     )
     model = ClickstreamModel(cfg)
 
