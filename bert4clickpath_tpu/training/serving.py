@@ -70,8 +70,12 @@ class ServingModel:
         abstract = jax.eval_shape(
             lambda: self.model.init(jax.random.PRNGKey(0), dummy_feats, dummy_pos)
         )
-        self.params = ckpt_lib.restore_params(
-            os.path.join(export_dir, "params"), abstract
+        # restore_params returns HOST numpy arrays; pin them on device once.
+        # Left on host, jit re-uploads the full param tree per request —
+        # measured 1.9 s p50 per batch-1 request through the TPU tunnel
+        # (~80 MB of flagship MLP-head params) vs ~ms once resident.
+        self.params = jax.device_put(
+            ckpt_lib.restore_params(os.path.join(export_dir, "params"), abstract)
         )
         # the catalog feature the head ranks; other features are paired
         # per-event context (multi-variable models, e.g. (action, item))
