@@ -90,6 +90,15 @@ def run_mesh(data_axis, model_axis, args, gen, vocab):
             TrainState.create({"params": params}, tx), mesh, cfg
         )
         step = tp.make_tp_train_step(model, tx, schedules.constant(1e-3), mesh)
+    elif getattr(args, "tier", "spmd") == "tp_spmd":
+        # composed tier (parallel/tp_spmd.py): Megatron-sharded encoder AND
+        # vocab-sharded table + fused CE in one shard_map program
+        from bert4clickpath_tpu.parallel import tp_spmd
+
+        state = tp_spmd.shard_state(TrainState.create(params, tx), mesh, cfg)
+        step = tp_spmd.make_tp_spmd_train_step(
+            cfg, mesh, tx, schedules.constant(1e-3), vocab.label_vocab_size
+        )
     else:
         state = spmd.shard_state(TrainState.create(params, tx), mesh, cfg)
         step = spmd.make_spmd_train_step(
@@ -167,7 +176,7 @@ def worker(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--meshes", default="", help="e.g. 1x1,2x1,4x2 (default: all devices DP)")
-    p.add_argument("--tier", default="spmd", choices=["spmd", "tp"], help="spmd: shard_map + vocab-sharded fused CE; tp: pjit tensor-parallel encoder")
+    p.add_argument("--tier", default="spmd", choices=["spmd", "tp", "tp_spmd"], help="spmd: shard_map + vocab-sharded fused CE; tp: pjit tensor-parallel encoder; tp_spmd: composed (sharded encoder + sharded catalog)")
     p.add_argument("--items", type=int, default=54_542)
     p.add_argument("--d_model", type=int, default=256)
     p.add_argument("--layers", type=int, default=4)
