@@ -95,11 +95,22 @@ def attention_blhd(
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
+# attn_impl="auto" lower bound for the Pallas whole-row fused-MHA kernel.
+# Device-measured speedups vs the xla per-head path (KERNELS.md round 4,
+# 1x v5e, 4L/256d bf16 train step): 0.85x at L=53, 0.88x at 128, 1.06x at
+# 256, 1.46x at 512 (whole-row kernel); the BLOCKWISE flash kernel that
+# takes over past the whole-row VMEM bound currently LOSES (0.44x at 1024,
+# 0.69x at 4096 — its per-(head, q-block, k-block) grid of (128, 64) tiles
+# is op-issue bound), so auto falls back to xla there until the blockwise
+# kernel is re-tiled.
+FLASH_ATTN_MIN_LEN = 256
+
+
 class MultiHeadAttention(nn.Module):
     d_model: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
-    attn_impl: str = "xla"  # "xla" | "pallas"
+    attn_impl: str = "xla"  # "xla" | "pallas" | "auto" (length-switched)
     # single (D, 3D) projection instead of three (D, D) ones — better MXU
     # fill at narrow d_model; param tree changes (wqkv), see ModelConfig
     qkv_fused: bool = False
@@ -112,6 +123,24 @@ class MultiHeadAttention(nn.Module):
             self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )
         b, l, _ = x.shape
+        impl = self.attn_impl
+        if impl == "auto":
+            from bert4clickpath_tpu.ops.pallas.attention import (
+                fused_mha_supported,
+            )
+
+            # pallas only inside the measured whole-row win range; the
+            # blockwise regime beyond it currently loses to xla (see
+            # FLASH_ATTN_MIN_LEN note)
+            impl = (
+                "pallas"
+                if l >= FLASH_ATTN_MIN_LEN
+                and fused_mha_supported(
+                    l, self.d_model, self.num_heads,
+                    itemsize=jnp.dtype(self.dtype).itemsize,
+                )
+                else "xla"
+            )
         if self.qkv_fused:
             qkv = nn.Dense(
                 3 * self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
@@ -121,7 +150,7 @@ class MultiHeadAttention(nn.Module):
             qf, kf, vf = qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :]
         else:
             qf, kf, vf = dense("wq")(x), dense("wk")(x), dense("wv")(x)  # (B, L, D)
-        if self.attn_impl == "pallas":
+        if impl == "pallas":
             from bert4clickpath_tpu.ops.pallas.attention import (
                 flash_attention,
                 fused_mha,
@@ -140,7 +169,7 @@ class MultiHeadAttention(nn.Module):
             )
             attn = flash_attention(split(qf), split(kf), split(vf), bias)
             attn = attn.transpose(0, 2, 1, 3)
-        elif self.attn_impl == "xla_4d":
+        elif impl == "xla_4d":
             # reference-shaped head-major path, kept for comparison
             split = lambda t: t.reshape(b, l, self.num_heads, depth)  # noqa: E731
             attn = attention_blhd(split(qf), split(kf), split(vf), bias).reshape(

@@ -132,7 +132,9 @@ def validate_tier(
         )
     rules = RULES[tier]
     active = [f"head:{head_kind}"]
-    if attn_impl == "pallas":
+    # "auto" may resolve to the Pallas kernel at long L, so tiers that
+    # cannot run Pallas must reject it too (conservative)
+    if attn_impl in ("pallas", "auto"):
         active.append("attn:pallas")
     if dropout_impl == "pallas":
         active.append("dropout:pallas")

@@ -200,8 +200,8 @@ def main(argv=None):
         "Resume requires the checkpoint to carry the same EMA setting.",
     )
     p.add_argument(
-        "--attn_impl", default="xla", choices=["xla", "pallas"],
-        help="pallas = fused whole-row MHA (short L) / blockwise flash (long L)",
+        "--attn_impl", default="xla", choices=["xla", "pallas", "auto"],
+        help="pallas = fused whole-row MHA (short L) / blockwise flash (long L); auto = flash from the measured L>=256 crossover (encoder.FLASH_ATTN_MIN_LEN)",
     )
     p.add_argument(
         "--tied_bias", action="store_true",

@@ -198,3 +198,47 @@ def test_attention_per_head_matches_bhld():
     got = attention_per_head(jnp.asarray(qf), jnp.asarray(kf), jnp.asarray(vf),
                              jnp.asarray(bias), h)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_attn_impl_auto_switches_on_length():
+    """auto == xla below FLASH_ATTN_MIN_LEN (bitwise: same branch), and the
+    pallas branch above it (values match the dense oracle)."""
+    from bert4clickpath_tpu.models.encoder import (
+        FLASH_ATTN_MIN_LEN,
+        MultiHeadAttention,
+    )
+
+    rng = np.random.default_rng(0)
+    # 16: below the lower crossover -> xla; 256: whole-row win range ->
+    # pallas; 2048: past the whole-row VMEM bound, where the blockwise
+    # kernel measures slower than dense -> back to xla
+    for l, resolves_pallas in (
+        (16, False),
+        (FLASH_ATTN_MIN_LEN, True),
+        (2048, False),
+    ):
+        x = jnp.asarray(rng.normal(size=(2, l, 32)), jnp.float32)
+        bias = padding_bias(jnp.ones((2, l), jnp.int32))
+        auto = MultiHeadAttention(32, 2, attn_impl="auto")
+        params = auto.init(jax.random.PRNGKey(0), x, bias)
+        got = auto.apply(params, x, bias)
+        want_impl = "pallas" if resolves_pallas else "xla"
+        want = MultiHeadAttention(32, 2, attn_impl=want_impl).apply(
+            params, x, bias
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # and the two branches genuinely differ numerically from each other
+        other = MultiHeadAttention(
+            32, 2, attn_impl="xla" if resolves_pallas else "pallas"
+        ).apply(params, x, bias)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(other), rtol=2e-3, atol=2e-3
+        )
+
+
+def test_auto_rejected_where_pallas_is():
+    from bert4clickpath_tpu.parallel.support import validate_tier
+
+    validate_tier("dp", "tied_softmax", attn_impl="auto")  # composes
+    with pytest.raises(ValueError, match="attn:pallas"):
+        validate_tier("tp", "tied_softmax", attn_impl="auto")
