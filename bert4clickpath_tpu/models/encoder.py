@@ -95,14 +95,12 @@ def attention_blhd(
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
-# attn_impl="auto" lower bound for the Pallas whole-row fused-MHA kernel.
+# attn_impl="auto" switches to the Pallas kernels at this sequence length.
 # Device-measured speedups vs the xla per-head path (KERNELS.md round 4,
-# 1x v5e, 4L/256d bf16 train step): 0.85x at L=53, 0.88x at 128, 1.06x at
-# 256, 1.46x at 512 (whole-row kernel); the BLOCKWISE flash kernel that
-# takes over past the whole-row VMEM bound currently LOSES (0.44x at 1024,
-# 0.69x at 4096 — its per-(head, q-block, k-block) grid of (128, 64) tiles
-# is op-issue bound), so auto falls back to xla there until the blockwise
-# kernel is re-tiled.
+# 1x v5e, 4L/256d bf16 train step): 0.85x at L=53, 0.88x at 128, then wins
+# everywhere above — 1.06x at 256, 1.46x at 512 (whole-row fused MHA),
+# 1.21x at 768, 1.48x at 1024, 3.47x at 4096 (blockwise (B, L, D) kernel,
+# which replaced the head-major flash grid that used to LOSE this regime).
 FLASH_ATTN_MIN_LEN = 256
 
 
@@ -125,22 +123,9 @@ class MultiHeadAttention(nn.Module):
         b, l, _ = x.shape
         impl = self.attn_impl
         if impl == "auto":
-            from bert4clickpath_tpu.ops.pallas.attention import (
-                fused_mha_supported,
-            )
-
-            # pallas only inside the measured whole-row win range; the
-            # blockwise regime beyond it currently loses to xla (see
-            # FLASH_ATTN_MIN_LEN note)
-            impl = (
-                "pallas"
-                if l >= FLASH_ATTN_MIN_LEN
-                and fused_mha_supported(
-                    l, self.d_model, self.num_heads,
-                    itemsize=jnp.dtype(self.dtype).itemsize,
-                )
-                else "xla"
-            )
+            # measured crossover (FLASH_ATTN_MIN_LEN note): xla below,
+            # pallas (whole-row or blockwise, both win) above
+            impl = "pallas" if l >= FLASH_ATTN_MIN_LEN else "xla"
         if self.qkv_fused:
             qkv = nn.Dense(
                 3 * self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
@@ -152,7 +137,7 @@ class MultiHeadAttention(nn.Module):
             qf, kf, vf = dense("wq")(x), dense("wk")(x), dense("wv")(x)  # (B, L, D)
         if impl == "pallas":
             from bert4clickpath_tpu.ops.pallas.attention import (
-                flash_attention,
+                blockwise_mha,
                 fused_mha,
                 fused_mha_supported,
             )
@@ -163,12 +148,10 @@ class MultiHeadAttention(nn.Module):
             ):
                 # short-L path: heads never leave the (B, L, D) layout
                 return dense("wo")(fused_mha(qf, kf, vf, bias, self.num_heads))
-            # long-L blockwise path wants the head-major view
-            split = lambda t: t.reshape(b, l, self.num_heads, depth).transpose(  # noqa: E731
-                0, 2, 1, 3
-            )
-            attn = flash_attention(split(qf), split(kf), split(vf), bias)
-            attn = attn.transpose(0, 2, 1, 3)
+            # long-L path: same heads-in-lanes layout, k/v streamed
+            # blockwise (the head-major flash kernel lost to XLA at every
+            # measured L — KERNELS.md round 4)
+            return dense("wo")(blockwise_mha(qf, kf, vf, bias, self.num_heads))
         elif impl == "xla_4d":
             # reference-shaped head-major path, kept for comparison
             split = lambda t: t.reshape(b, l, self.num_heads, depth)  # noqa: E731

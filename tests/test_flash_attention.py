@@ -209,14 +209,10 @@ def test_attn_impl_auto_switches_on_length():
     )
 
     rng = np.random.default_rng(0)
-    # 16: below the lower crossover -> xla; 256: whole-row win range ->
-    # pallas; 2048: past the whole-row VMEM bound, where the blockwise
-    # kernel measures slower than dense -> back to xla
-    for l, resolves_pallas in (
-        (16, False),
-        (FLASH_ATTN_MIN_LEN, True),
-        (2048, False),
-    ):
+    # 16: below the crossover -> xla; 256: whole-row win range -> pallas
+    # (past the whole-row VMEM bound the blockwise (B, L, D) kernel takes
+    # over — also measured faster, so auto stays pallas there)
+    for l, resolves_pallas in ((16, False), (FLASH_ATTN_MIN_LEN, True)):
         x = jnp.asarray(rng.normal(size=(2, l, 32)), jnp.float32)
         bias = padding_bias(jnp.ones((2, l), jnp.int32))
         auto = MultiHeadAttention(32, 2, attn_impl="auto")
@@ -242,3 +238,61 @@ def test_auto_rejected_where_pallas_is():
     validate_tier("dp", "tied_softmax", attn_impl="auto")  # composes
     with pytest.raises(ValueError, match="attn:pallas"):
         validate_tier("tp", "tied_softmax", attn_impl="auto")
+
+
+class TestBlockwiseMHA:
+    """(B, L, D) blockwise kernel vs the dense oracle (interpret mode)."""
+
+    def _case(self, b=2, l=48, d=32, h=2, pad=True):
+        # l=48 -> block 16 -> 3x3 blocks: true multi-block online softmax
+        rng = np.random.default_rng(3)
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(b, l, d)), jnp.float32) for _ in range(3)
+        )
+        tokens = jnp.ones((b, l), jnp.int32)
+        if pad:
+            tokens = tokens.at[:, l - 5 :].set(0)  # padding tail
+        return q, k, v, padding_bias(tokens)
+
+    def _oracle(self, q, k, v, bias, h):
+        from bert4clickpath_tpu.models.encoder import attention_per_head
+
+        return attention_per_head(q, k, v, bias, h)
+
+    def test_forward_matches_oracle(self):
+        from bert4clickpath_tpu.ops.pallas.attention import blockwise_mha
+
+        q, k, v, bias = self._case()
+        got = blockwise_mha(q, k, v, bias, 2)
+        want = self._oracle(q, k, v, bias, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    def test_grads_match_oracle(self):
+        from bert4clickpath_tpu.ops.pallas.attention import blockwise_mha
+
+        q, k, v, bias = self._case()
+
+        def f(fn):
+            def loss(q, k, v):
+                o = fn(q, k, v, bias, 2)
+                return jnp.sum(o * jnp.cos(o.astype(jnp.float32)))
+
+            return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        got = f(blockwise_mha)
+        want = f(self._oracle) if False else f(
+            lambda q, k, v, b, h: self._oracle(q, k, v, b, h)
+        )
+        for g, w, name in zip(got, want, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-4,
+                err_msg=f"d{name}",
+            )
+
+    def test_single_block_and_odd_heads(self):
+        from bert4clickpath_tpu.ops.pallas.attention import blockwise_mha
+
+        q, k, v, bias = self._case(b=1, l=16, d=48, h=4, pad=False)
+        got = blockwise_mha(q, k, v, bias, 4)
+        want = self._oracle(q, k, v, bias, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
