@@ -25,12 +25,17 @@ from bert4clickpath_tpu.constants import LABEL_PAD
 NEG_BIG = -1e30
 
 
-def pick_chunk(v: int, target: int = 8192) -> int:
+def pick_chunk(v: int, target: int = 0) -> int:
     """Largest chunk <= target dividing v; raises rather than falling back to
     a full-table chunk (which would materialize the logits the chunked path
-    exists to avoid)."""
-    for c in (target, 4096, 2048, 1024, 512, 256, 128):
-        if v % c == 0:
+    exists to avoid). Default target scales with the table: chunk count is
+    sequential scan steps, so huge catalogs want big chunks (65536 at >1M
+    rows — fused_ce.padded_rows aligns such tables to 65536 for exactly
+    this; measured on the 10M-item serving export, KERNELS.md round 4)."""
+    if not target:
+        target = 65536 if v > 1_000_000 else 8192
+    for c in (target, 32768, 16384, 8192, 4096, 2048, 1024, 512, 256, 128):
+        if c <= target and v % c == 0:
             return c
     if v <= 8192:
         return v

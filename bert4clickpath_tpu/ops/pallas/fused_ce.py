@@ -83,10 +83,19 @@ def _row_tile(n: int) -> int:
 
 def padded_rows(v: int) -> int:
     """Smallest row count >= v that ``_vocab_tile`` (and chunked_eval's
-    ``pick_chunk``) accepts: a multiple of 1024, or of 128 below the 4096
-    whole-table cutoff. The single source of truth for catalog-row padding —
-    train/eval/serving all pad through here so a tile-tier change cannot
-    strand a call site on a stale formula."""
+    ``pick_chunk``) accepts: a multiple of 128 below the 4096 whole-table
+    cutoff, of 1024 above, of 65536 past 1M rows. The single source of
+    truth for catalog-row padding — train/eval/serving all pad through here
+    so a tile-tier change cannot strand a call site on a stale formula.
+
+    The 65536 tier exists for the eval/serving catalog scan: chunk count is
+    V/chunk *sequential* lax.scan steps, so a 10M-row catalog at 4096-row
+    chunks pays ~2,400 dispatch-granularity steps (~330 ms/request batch
+    measured, serving_bench round 4) where 64k chunks pay ~150. The extra
+    padding is <=0.65% of a >1M-row table and the rows are blinded
+    everywhere (sharded_logits_local / chunked_scores)."""
+    if v > 1_000_000:
+        return v + (-v % 65536)
     return v + (-v % (1024 if v > 4096 else 128))
 
 
