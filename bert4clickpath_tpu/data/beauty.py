@@ -110,17 +110,20 @@ def load_amazon_json(
             # aborting, data_prep/main.py:9-42): skip and report, so one
             # malformed line can't kill a multi-GB ingestion
             try:
-                u, a, t = rec["reviewerID"], rec["asin"], rec["unixReviewTime"]
-            except KeyError:
+                u = str(rec["reviewerID"])
+                a = str(rec["asin"])
+                # null / non-numeric timestamps are as fatal as missing keys
+                t = int(rec["unixReviewTime"])
+            except (KeyError, TypeError, ValueError):
                 skipped += 1
                 continue
-            users.append(str(u))
-            items.append(str(a))
-            times.append(int(t))
+            users.append(u)
+            items.append(a)
+            times.append(t)
     if skipped:
         warnings.warn(
-            f"load_amazon_json: skipped {skipped} record(s) missing "
-            "reviewerID/asin/unixReviewTime"
+            f"load_amazon_json: skipped {skipped} record(s) missing or "
+            "malformed reviewerID/asin/unixReviewTime"
         )
     if min_item_per_user:
         counts: dict[str, int] = {}

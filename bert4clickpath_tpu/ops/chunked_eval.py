@@ -25,15 +25,24 @@ from bert4clickpath_tpu.constants import LABEL_PAD
 NEG_BIG = -1e30
 
 
-def pick_chunk(v: int, target: int = 0) -> int:
+def pick_chunk(v: int, target: int = 0, rows: int = 0) -> int:
     """Largest chunk <= target dividing v; raises rather than falling back to
     a full-table chunk (which would materialize the logits the chunked path
     exists to avoid). Default target scales with the table: chunk count is
     sequential scan steps, so huge catalogs want big chunks (65536 at >1M
     rows — fused_ce.padded_rows aligns such tables to 65536 for exactly
-    this; measured on the 10M-item serving export, KERNELS.md round 4)."""
+    this; measured on the 10M-item serving export, KERNELS.md round 4).
+
+    ``rows``: the scoring row count (B*P) when known. The scan body holds an
+    (rows, chunk) f32 logits tile, so big chunks are only safe when rows is
+    small (serving's P=1); a 512x25-row training eval at chunk 65536 would
+    be a 3.4 GB tile. The target halves until that tile stays <=256 MB.
+    """
     if not target:
         target = 65536 if v > 1_000_000 else 8192
+    if rows:
+        while target > 128 and rows * target * 4 > (256 << 20):
+            target //= 2
     for c in (target, 32768, 16384, 8192, 4096, 2048, 1024, 512, 256, 128):
         if c <= target and v % c == 0:
             return c

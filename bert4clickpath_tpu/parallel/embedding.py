@@ -211,10 +211,10 @@ def sharded_top_k(
     return top_vals, top_idx
 
 
-def _eval_chunk(v_local: int) -> int:
+def _eval_chunk(v_local: int, rows: int = 0) -> int:
     from bert4clickpath_tpu.ops.chunked_eval import pick_chunk
 
-    return pick_chunk(v_local)
+    return pick_chunk(v_local, rows=rows)
 
 
 def sharded_chunked_eval_stats(
@@ -250,7 +250,7 @@ def sharded_chunked_eval_stats(
         kmax,
         row_offset=row_offset,
         num_valid=num_valid,
-        chunk=_eval_chunk(v_local),
+        chunk=_eval_chunk(v_local, rows=x.shape[0] * x.shape[1]),
         base_row=idx * v_local,
         bias=bias_shard,
     )

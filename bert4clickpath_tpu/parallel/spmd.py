@@ -693,7 +693,10 @@ def make_dp_eval_step(
                 ks=ks,
                 row_offset=row_offset,
                 num_valid=chunked_num_valid,
-                chunk=pick_chunk(table.shape[0]),
+                chunk=pick_chunk(
+                    table.shape[0],
+                    rows=gathered.shape[0] * gathered.shape[1],
+                ),
                 bias=bias,
             )
             return metrics_lib.psum_stats(local, DATA_AXIS)

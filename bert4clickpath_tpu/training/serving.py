@@ -42,13 +42,15 @@ class ServingModel:
     sizes at load time (each is rounded up to its power-of-two bucket).
     Without it the first request at each bucket pays a full XLA compile
     (~seconds) — measured as the cold column in BASELINE.md's serving table.
+    ``warmup_k``: the k value(s) to warm — k is static under jit, so warm
+    every k you plan to serve (int or sequence of ints).
     """
 
     def __init__(
         self,
         export_dir: str,
         warmup_batches: Sequence[int] = (),
-        warmup_k: int = 10,
+        warmup_k=10,
     ):
         export_dir = os.path.abspath(export_dir)
         with open(os.path.join(export_dir, "model_config.json")) as f:
@@ -104,12 +106,20 @@ class ServingModel:
         if warmup_batches:
             self.warmup(warmup_batches, k=warmup_k)
 
-    def warmup(self, batch_sizes: Sequence[int], k: int = 10) -> None:
-        """Pre-compile the scoring program for each batch bucket by scoring
-        all-empty sessions (the pad-row construction recommend() already
-        uses), so live requests never hit a cold XLA compile."""
+    def warmup(self, batch_sizes: Sequence[int], k=10) -> None:
+        """Pre-compile the scoring program for each (batch bucket, k) by
+        scoring all-empty sessions (the pad-row construction recommend()
+        already uses), so live requests at those shapes never hit a cold
+        XLA compile. ``k`` is a static jit argument — a request with a k
+        you did not warm still compiles on first use, so pass every k you
+        serve (int or sequence)."""
+        ks = (k,) if isinstance(k, int) else tuple(k)
+        # multi-variable models take dict sessions (recommend()'s contract)
+        names = list(self.config.features)
+        empty = [] if len(names) == 1 else {f: [] for f in names}
         for bs in sorted({_bucket(b) for b in batch_sizes}):
-            self.recommend([[]] * bs, k=k)
+            for kk in ks:
+                self.recommend([empty] * bs, k=kk)
 
     def _make_topk(self):
         """(params, table, bias, feats, (B,1) positions, k) ->
@@ -152,7 +162,7 @@ class ServingModel:
             logz, _, vals, rowids = chunked_scores(
                 x, table, no_labels, k,
                 row_offset=row_offset, num_valid=v_label,
-                chunk=pick_chunk(table.shape[0]), bias=bias,
+                chunk=pick_chunk(table.shape[0], rows=x.shape[0] * x.shape[1]), bias=bias,
             )
             logprobs = vals[:, 0] - logz[:, 0, None]  # (B, k)
             return logprobs, rowids[:, 0] - row_offset  # label-space ids

@@ -383,7 +383,11 @@ def make_eval_step(
                 ks=ks,
                 row_offset=row_offset,
                 num_valid=chunked_num_valid,
-                chunk=pick_chunk(table.shape[0]),
+                # rows bounds the (B*P, chunk) f32 logits tile the scan holds
+                chunk=pick_chunk(
+                    table.shape[0],
+                    rows=gathered.shape[0] * gathered.shape[1],
+                ),
                 bias=bias,
             )
 

@@ -63,3 +63,17 @@ def test_chunked_jits():
     )
     stats = f(x, table, labels)
     assert np.isfinite(float(stats["loss_sum"]))
+
+
+def test_pick_chunk_rows_cap():
+    """Big-catalog chunks shrink when the scoring row count is large: the
+    scan body holds an (rows, chunk) f32 logits tile (code-review round 4 —
+    65536-chunks at a 512x25-row training eval would be a 3.4 GB tile)."""
+    from bert4clickpath_tpu.ops.chunked_eval import pick_chunk
+
+    v = 10_027_008  # 10M-row table padded to the 65536 alignment
+    assert pick_chunk(v) == 65536  # serving: rows unknown/small
+    assert pick_chunk(v, rows=1 * 64) == 65536  # serving bucket: P=1
+    big = pick_chunk(v, rows=512 * 25)
+    assert big * 512 * 25 * 4 <= (256 << 20)
+    assert big >= 4096  # still far above the old tiny-chunk regime

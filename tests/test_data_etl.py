@@ -294,3 +294,31 @@ def test_amazon_json_skips_malformed_records(tmp_path):
         seqs, vocab = load_amazon_json(str(p), min_item_per_user=2, max_seq_len=50)
     assert vocab.tokens == ["a", "b"]
     assert [list(map(vocab.decode_label, np.asarray(s))) for s in seqs] == [["a", "b"]]
+
+
+def test_amazon_json_tolerates_malformed_timestamps(tmp_path):
+    """Null / non-numeric unixReviewTime skips the record (same as a
+    missing key) instead of killing the ingestion (code-review round 4)."""
+    import gzip
+    import json as _json
+    import warnings
+
+    from bert4clickpath_tpu.data.beauty import load_amazon_json
+
+    recs = [
+        {"reviewerID": "u1", "asin": f"a{i}", "unixReviewTime": 100 + i}
+        for i in range(5)
+    ]
+    recs.insert(2, {"reviewerID": "u1", "asin": "bad", "unixReviewTime": None})
+    recs.insert(4, {"reviewerID": "u1", "asin": "bad2", "unixReviewTime": "n/a"})
+    p = tmp_path / "r.json.gz"
+    with gzip.open(p, "wt") as f:
+        for r in recs:
+            f.write(_json.dumps(r) + "\n")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        seqs, vocab = load_amazon_json(str(p), max_seq_len=50, min_item_per_user=1)
+    assert any("malformed" in str(x.message) for x in w)
+    assert [[vocab.tokens[i] for i in s] for s in seqs] == [
+        [f"a{i}" for i in range(5)]
+    ]

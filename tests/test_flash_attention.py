@@ -280,9 +280,7 @@ class TestBlockwiseMHA:
             return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
 
         got = f(blockwise_mha)
-        want = f(self._oracle) if False else f(
-            lambda q, k, v, b, h: self._oracle(q, k, v, b, h)
-        )
+        want = f(lambda q, k, v, b, h: self._oracle(q, k, v, b, h))
         for g, w, name in zip(got, want, "qkv"):
             np.testing.assert_allclose(
                 np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-4,

@@ -27,6 +27,7 @@ from bert4clickpath_tpu.training.train_state import (
     make_train_step,
 )
 from bert4clickpath_tpu.training.trainer import Trainer
+from bert4clickpath_tpu.vocab import Vocabulary
 
 
 def _setup(head_kind="tied_softmax", n_items=30, n_sessions=80):
@@ -692,3 +693,41 @@ def test_serving_batch_bucketing(tmp_path):
         np.testing.assert_allclose(
             [v for _, v in single], [v for _, v in recs[i]], rtol=1e-5
         )
+
+
+def test_serving_warmup_multivariable(tmp_path):
+    """Warm-up must use dict-shaped empty sessions on multi-feature models
+    (code-review round 4: list-shaped warm-up crashed the constructor)."""
+    from bert4clickpath_tpu.data.generator import ClickStreamGenerator
+
+    gen = ClickStreamGenerator(n_items=30, seed=0)
+    vocab = gen.item_vocab()
+    actions = Vocabulary(["view", "buy"])
+    cfg = ModelConfig(
+        features={
+            "actions": FeatureConfig(actions.model_vocab_size, 8),
+            "items": FeatureConfig(vocab.model_vocab_size, 24),
+        },
+        num_layers=1,
+        num_heads=2,
+        ffn_dim=32,
+        max_len=13,
+        head=HeadConfig("tied_softmax", output_size=vocab.label_vocab_size),
+    )
+    model = ClickstreamModel(cfg)
+    feats = {
+        "actions": jnp.zeros((2, 13), jnp.int32),
+        "items": jnp.zeros((2, 13), jnp.int32),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, feats, jnp.zeros((2, 1), jnp.int32)
+    )
+    export_dir = ckpt_lib.export_serving(
+        str(tmp_path / "export"), jax.device_get(params), cfg,
+        {"actions": actions, "items": vocab},
+    )
+    served = ServingModel(export_dir, warmup_batches=(2,), warmup_k=(3, 5))
+    out = served.recommend(
+        [{"actions": ["view"], "items": ["item_1"]}], k=3
+    )
+    assert len(out) == 1 and len(out[0]) == 3
