@@ -1,4 +1,4 @@
-"""Pallas flash attention vs the jnp reference path (interpret mode on CPU)."""
+"""Pallas fused attention kernels vs the jnp reference path (interpret mode on CPU)."""
 
 import jax
 import jax.numpy as jnp
@@ -7,83 +7,6 @@ import pytest
 
 from bert4clickpath_tpu.models.encoder import scaled_dot_product_attention
 from bert4clickpath_tpu.ops.masking import padding_bias
-from bert4clickpath_tpu.ops.pallas.attention import flash_attention
-
-
-def _case(b=2, h=2, l=16, dh=8, n_pad=5, seed=0):
-    rng = np.random.default_rng(seed)
-    q = jnp.asarray(rng.normal(size=(b, h, l, dh)), jnp.float32)
-    k = jnp.asarray(rng.normal(size=(b, h, l, dh)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(b, h, l, dh)), jnp.float32)
-    tokens = np.ones((b, l), np.int32)
-    tokens[:, l - n_pad :] = 0  # PAD
-    bias = padding_bias(jnp.asarray(tokens))
-    return q, k, v, bias
-
-
-def test_forward_matches_reference():
-    q, k, v, bias = _case()
-    got = flash_attention(q, k, v, bias)
-    want = scaled_dot_product_attention(q, k, v, bias)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
-
-
-def test_forward_multiblock():
-    # L=32 with block 16 exercises the online-softmax recurrence
-    import bert4clickpath_tpu.ops.pallas.attention as A
-
-    orig = A._block
-    A._block = lambda l, target=128: 16
-    try:
-        q, k, v, bias = _case(l=32, n_pad=9)
-        got = flash_attention(q, k, v, bias)
-        want = scaled_dot_product_attention(q, k, v, bias)
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
-        )
-    finally:
-        A._block = orig
-
-
-def test_gradients_match_reference():
-    q, k, v, bias = _case()
-
-    def loss_flash(q, k, v):
-        return jnp.sum(flash_attention(q, k, v, bias) ** 2)
-
-    def loss_ref(q, k, v):
-        return jnp.sum(scaled_dot_product_attention(q, k, v, bias) ** 2)
-
-    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
-    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-    for a, b in zip(gf, gr):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
-
-
-def test_gradients_multiblock():
-    import bert4clickpath_tpu.ops.pallas.attention as A
-
-    orig = A._block
-    A._block = lambda l, target=128: 8
-    try:
-        q, k, v, bias = _case(l=16, n_pad=3, seed=4)
-
-        def loss_flash(q, k, v):
-            return jnp.sum(flash_attention(q, k, v, bias) * jnp.cos(q[..., :1]))
-
-        def loss_ref(q, k, v):
-            return jnp.sum(
-                scaled_dot_product_attention(q, k, v, bias) * jnp.cos(q[..., :1])
-            )
-
-        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
-        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-        for a, b in zip(gf, gr):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
-            )
-    finally:
-        A._block = orig
 
 
 def test_model_with_pallas_attention():
@@ -294,3 +217,33 @@ class TestBlockwiseMHA:
         got = blockwise_mha(q, k, v, bias, 4)
         want = self._oracle(q, k, v, bias, 4)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+    def test_multiblock_forward_and_grads(self, monkeypatch):
+        """Force tiny (Tq, Tk) so the online-softmax recurrence and the
+        accumulating backward grids run multi-block (the auto chooser picks
+        a single block at test sizes)."""
+        import bert4clickpath_tpu.ops.pallas.attention as A
+
+        monkeypatch.setattr(A, "_bmha_blocks", lambda l, d, itemsize=2: (16, 16))
+        q, k, v, bias = self._case()  # l=48 -> 3x3 blocks
+
+        def f(fn):
+            def loss(q, k, v):
+                o = fn(q, k, v, bias, 2)
+                return jnp.sum(o * jnp.sin(o.astype(jnp.float32)))
+
+            return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        got_fwd = A.blockwise_mha(q, k, v, bias, 2)
+        np.testing.assert_allclose(
+            np.asarray(got_fwd), np.asarray(self._oracle(q, k, v, bias, 2)),
+            rtol=2e-5, atol=2e-5,
+        )
+        got = f(A.blockwise_mha)
+        want = f(lambda q, k, v, b, h: self._oracle(q, k, v, b, h))
+        for g, w, name in zip(got, want, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-4,
+                err_msg=f"d{name}",
+            )
