@@ -342,9 +342,14 @@ def _bmha_blocks(l: int, d: int, itemsize: int = 2) -> tuple[int, int]:
     # Mosaic holds several head iterations' f32 score tiles live at once
     # (unrolled loop), so the budget is deliberately tight: Tk=2048 at D=256
     # hit "scoped vmem 17.39M > 16M" on chip; Tk=1024 (4 MB by this
-    # formula) compiles and wins 1.48x/2.9x at L=1024/4096.
+    # formula) compiles and wins 1.48x/2.9x at L=1024/4096. The candidate
+    # list caps at the chip-validated Tk=1024: 1536/2048 tiles can pass the
+    # formula at small D while the unroll multiplicity (~3-4 live f32
+    # (Tq, Tk) temporaries per head iteration in the backward kernels) still
+    # blows the 16 MB scoped-vmem limit at compile time — re-admit larger
+    # tiles only with a device compile check at that exact (Tq, Tk, D).
     budget = 4 << 20
-    for tk in (2048, 1536, 1024, 768, 512, 384, 256, 128):
+    for tk in (1024, 768, 512, 384, 256, 128):
         if l % tk == 0 and tq * tk * 4 + 4 * tk * d * itemsize <= budget:
             return tq, tk
     return tq, l  # tiny/odd L: single k block (block == dim is legal)

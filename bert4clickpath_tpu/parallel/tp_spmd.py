@@ -119,17 +119,32 @@ class TPEncoderApply:
         kf = _dense(mha["wk"], xin, dtype)
         vf = _dense(mha["wv"], xin, dtype)
         attn = attention_per_head(qf, kf, vf, bias, local_heads)
-        # row-parallel wo: partial matmul, all-reduce, then the bias ONCE
-        part = attn.astype(dtype) @ mha["wo"]["kernel"].astype(dtype)
-        attn = psum_fwd(part, self.axis) + mha["wo"]["bias"].astype(dtype)
+        # row-parallel wo: partial matmul, all-reduce, then the bias ONCE.
+        # Partials accumulate in f32 (preferred_element_type) and the psum
+        # runs in f32, so the full contraction is rounded to bf16 exactly
+        # once — matching the single-device Dense path, whose XLA dot
+        # accumulates the whole K dimension in f32 before the output cast.
+        attn = self._row_parallel(attn, mha["wo"], dtype)
         attn = _dropout(attn, cfg.dropout_rate, deterministic, rng, 2 * i)
         x = _ln(p["ln1"], x + attn, dtype)
         # --- ffn: column-parallel ffn1 (+ sharded bias), row-parallel ffn2
         h = nn.relu(_dense(p["ffn1"], psum_bwd(x, self.axis), dtype))
-        part = h.astype(dtype) @ p["ffn2"]["kernel"].astype(dtype)
-        ffn = psum_fwd(part, self.axis) + p["ffn2"]["bias"].astype(dtype)
+        ffn = self._row_parallel(h, p["ffn2"], dtype)
         ffn = _dropout(ffn, cfg.dropout_rate, deterministic, rng, 2 * i + 1)
         return _ln(p["ln2"], x + ffn, dtype)
+
+    def _row_parallel(self, x, p, dtype):
+        """Row-parallel Dense: f32-accumulated local partial, f32 all-reduce,
+        one rounding to ``dtype``, then the (replicated) bias — the bias adds
+        in ``dtype`` after the cast, exactly like flax Dense."""
+        part = jax.lax.dot_general(
+            x.astype(dtype),
+            p["kernel"].astype(dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = psum_fwd(part, self.axis).astype(dtype)
+        return out + p["bias"].astype(dtype)
 
 
 def param_specs(params, config: ModelConfig):

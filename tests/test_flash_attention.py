@@ -146,13 +146,13 @@ def test_attn_impl_auto_switches_on_length():
             params, x, bias
         )
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-        # and the two branches genuinely differ numerically from each other
-        other = MultiHeadAttention(
-            32, 2, attn_impl="xla" if resolves_pallas else "pallas"
-        ).apply(params, x, bias)
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(other), rtol=2e-3, atol=2e-3
-        )
+        # Branch values can coincide bitwise at these shapes (single-block
+        # online softmax == dense softmax), so prove WHICH branch auto took
+        # structurally: the traced program contains a pallas_call iff the
+        # pallas branch was selected (ADVICE round 4: the old closeness
+        # assert verified selection only one-way).
+        jaxpr = str(jax.make_jaxpr(lambda x: auto.apply(params, x, bias))(x))
+        assert ("pallas_call" in jaxpr) == resolves_pallas
 
 
 def test_auto_rejected_where_pallas_is():

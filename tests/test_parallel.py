@@ -1263,6 +1263,42 @@ def test_tp_spmd_scan_matches_sequential():
     )
 
 
+def test_tp_spmd_bf16_matches_spmd_tier():
+    """bf16 composed tier vs bf16 replicated-encoder tier: the row-parallel
+    partials accumulate in f32 and all-reduce in f32 (one rounding, after
+    the psum), so the two programs stay within bf16 rounding of each other
+    — quantifies the drift ADVICE round-4 flagged as untested."""
+    import dataclasses
+
+    from bert4clickpath_tpu.parallel import tp_spmd
+
+    mesh, ds, vocab, cfg = _tp_spmd_setup()
+    cfg = dataclasses.replace(cfg, dtype="bfloat16")
+    model = ClickstreamModel(cfg)
+    b = _device_batch(next(ds.train_batches(8, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b["features"], b["head_positions"]
+    )["params"]
+    tx = make_optimizer(TrainConfig())
+    rng = jax.random.PRNGKey(1)
+
+    ref_step = spmd.make_spmd_train_step(
+        cfg, mesh, tx, schedules.constant(1e-2), vocab.label_vocab_size
+    )
+    ref_state = spmd.shard_state(
+        TrainState.create(jax.tree.map(jnp.copy, params), tx), mesh, cfg
+    )
+    _, want = ref_step(ref_state, spmd.shard_batch(b, mesh, cfg), rng)
+
+    step = tp_spmd.make_tp_spmd_train_step(
+        cfg, mesh, tx, schedules.constant(1e-2), vocab.label_vocab_size
+    )
+    state = tp_spmd.shard_state(TrainState.create(params, tx), mesh, cfg)
+    _, got = step(state, spmd.shard_batch(b, mesh, cfg), rng)
+    # bf16 eps ~= 7.8e-3; per-layer roundings compound across 2 layers
+    np.testing.assert_allclose(float(got), float(want), rtol=3e-2)
+
+
 def test_tp_spmd_rejects_bad_combinations():
     from bert4clickpath_tpu.parallel import tp_spmd
 
