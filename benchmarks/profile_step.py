@@ -28,6 +28,10 @@ jax.config.update("jax_default_prng_impl", "rbg")
 import jax.numpy as jnp
 import numpy as np
 
+from bert4clickpath_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()  # tunnel compile RPCs can take minutes when congested
+
 from bert4clickpath_tpu import FeatureConfig, HeadConfig, ModelConfig, TrainConfig
 from bert4clickpath_tpu.data.generator import ClickStreamGenerator
 from bert4clickpath_tpu.data.pipeline import ClozeDataset

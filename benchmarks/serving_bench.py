@@ -26,6 +26,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+from bert4clickpath_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()  # tunnel compile RPCs can take minutes when congested
+
 
 def synthetic_export(n_items: int, d_model: int, layers: int, head: str) -> str:
     import jax

@@ -1,0 +1,43 @@
+"""Persistent XLA compilation cache for tunnel-backed TPU sessions.
+
+On the axon remote-tunnel backend a *compile* RPC can take minutes when the
+tunnel is congested (measured 2026-08-19: 402 s for a trivial matmul's first
+compile while steady-state dispatch stayed at ~3 ms) — an outage mode that
+round 3 hit as unparseable BENCH files. Executables are keyed by HLO hash,
+so a persistent cache makes every re-run of an unchanged program skip the
+compile RPC entirely: bench.py / profile_step.py / the train driver survive
+a congested tunnel as long as their programs were compiled once before.
+
+Opt-out: set B4CP_NO_COMPILE_CACHE=1 (e.g. when measuring cold-compile
+behavior on purpose).
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".jax_compile_cache",
+)
+
+
+def enable(cache_dir: str | None = None) -> str | None:
+    """Point JAX's persistent compilation cache at ``cache_dir`` (default:
+    ``<repo>/.jax_compile_cache``). Call BEFORE the first jit execution;
+    idempotent; returns the directory (None when opted out or unavailable).
+    """
+    if os.environ.get("B4CP_NO_COMPILE_CACHE"):
+        return None
+    import jax
+
+    path = cache_dir or _DEFAULT_DIR
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache even fast compiles: on the tunnel the RPC round-trip, not
+        # the compile itself, is the cost being avoided
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+        return None
+    return path

@@ -28,6 +28,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import jax
 jax.config.update("jax_default_prng_impl", "rbg")  # threefry dropout costs ~20% step time
 import jax.numpy as jnp
+from bert4clickpath_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()  # tunnel compile RPCs can take minutes when congested
+
 import numpy as np
 
 from bert4clickpath_tpu import (

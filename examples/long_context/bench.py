@@ -30,6 +30,10 @@ import jax
 
 jax.config.update("jax_default_prng_impl", "rbg")
 import jax.numpy as jnp
+from bert4clickpath_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()  # tunnel compile RPCs can take minutes when congested
+
 import numpy as np
 
 from bert4clickpath_tpu import FeatureConfig, HeadConfig, ModelConfig, TrainConfig
