@@ -22,6 +22,18 @@ from bert4clickpath_tpu.config import ModelConfig
 
 V5E_PEAK_FLOPS = 197e12  # bf16
 V5E_HBM_BYTES_PER_S = 819e9
+# VPU elementwise throughput: 1024 lanes x ~0.94 GHz, one weighted op per
+# lane-cycle. Calibrated against the fused-CE forward device trace: its
+# online-softmax stream (5 weighted ops/element with exp ~= 2: max-reduce,
+# sub, exp, sum-reduce) predicts 0.736 ms at the flagship shape where the
+# chip measures 0.745 ms — the kernel runs AT this port's speed of light
+# (KERNELS.md round 5).
+V5E_VPU_OPS_PER_S = 962e9
+
+# Weighted VPU ops per element of each exp-bearing stream (exp counts ~2):
+_CE_FWD_OPS = 5  # max-reduce, sub, exp, sum-reduce
+_CE_BWD_OPS = 8  # sub, exp, onehot cmp+select, sub, dnll mul, bf16 cvt
+_ATTN_SOFTMAX_OPS = 11  # fwd max/sub/exp/sum/div + bwd mul/reduce/sub/mul
 
 
 @dataclass
@@ -31,6 +43,11 @@ class StepCost:
     total_flops: float  # fwd + bwd
     hbm_bytes: float  # params + activations traffic estimate
     params: int
+    # weighted elementwise ops on the exp-bearing VPU streams (fused-CE
+    # online softmax fwd+bwd, attention softmax). Deliberately UNDER-counts
+    # (no LN/dropout/residual streams), so vpu_bound_ms stays a valid lower
+    # bound on the step.
+    vpu_ops: float = 0.0
 
     def summary(self) -> dict:
         return {
@@ -39,6 +56,7 @@ class StepCost:
             "total_gflops": round(self.total_flops / 1e9, 1),
             "hbm_mb": round(self.hbm_bytes / 1e6, 1),
             "params_m": round(self.params / 1e6, 2),
+            "vpu_gops": round(self.vpu_ops / 1e9, 1),
         }
 
 
@@ -82,12 +100,19 @@ def step_cost(
     hbm = n_params * bytes_per_param * 7.0
     if not fused_ce and cfg.head.kind in ("softmax", "tied_softmax"):
         hbm += 3.0 * b * p * label_vocab * 4  # materialized f32 logits fwd+bwd
+    vpu = 0.0
+    if cfg.head.kind in ("softmax", "tied_softmax"):
+        # every (masked-position, catalog-row) score element passes through
+        # the online-softmax stream once fwd and once in the bwd recompute
+        vpu += b * p * label_vocab * (_CE_FWD_OPS + _CE_BWD_OPS)
+    vpu += cfg.num_layers * cfg.num_heads * b * l * l * _ATTN_SOFTMAX_OPS
     return StepCost(
         encoder_flops=enc_total,
         head_flops=head_total,
         total_flops=enc_total + head_total,
         hbm_bytes=hbm,
         params=n_params,
+        vpu_ops=vpu,
     )
 
 
@@ -96,19 +121,30 @@ def speed_of_light(
     measured_step_seconds: float,
     peak_flops: float = V5E_PEAK_FLOPS,
     peak_hbm: float = V5E_HBM_BYTES_PER_S,
+    peak_vpu: float = V5E_VPU_OPS_PER_S,
 ) -> dict:
-    """Roofline report for a measured step time."""
+    """Three-port roofline report for a measured step time.
+
+    MFU alone under-states the floor for softmax-heavy steps: the fused-CE
+    kernels stream one exp-bearing VPU pass per (position, catalog-row)
+    element fwd AND bwd, a cost MXU FLOP counting never sees. The VPU port
+    time is reported alongside; each port's time is a valid lower bound, so
+    ``speed_of_light_ms`` (their max) is too.
+    """
     flop_time = cost.total_flops / peak_flops
     hbm_time = cost.hbm_bytes / peak_hbm
-    ideal = max(flop_time, hbm_time)
+    vpu_time = cost.vpu_ops / peak_vpu
+    times = {"flops": flop_time, "hbm": hbm_time, "vpu": vpu_time}
+    bound = max(times, key=times.get)
     return {
         "measured_ms": round(measured_step_seconds * 1e3, 3),
         "flop_bound_ms": round(flop_time * 1e3, 3),
         "hbm_bound_ms": round(hbm_time * 1e3, 3),
-        "speed_of_light_ms": round(ideal * 1e3, 3),
+        "vpu_bound_ms": round(vpu_time * 1e3, 3),
+        "speed_of_light_ms": round(times[bound] * 1e3, 3),
         "mfu": round(cost.total_flops / (measured_step_seconds * peak_flops), 4),
-        "sol_fraction": round(ideal / measured_step_seconds, 4),
-        "bound": "flops" if flop_time >= hbm_time else "hbm",
+        "sol_fraction": round(times[bound] / measured_step_seconds, 4),
+        "bound": bound,
     }
 
 
