@@ -466,7 +466,7 @@ def _fused_bwd(row_offset, num_valid, res, g):
     mask = (labels != LABEL_PAD).astype(jnp.float32)
     dnll = (g * mask).astype(jnp.float32)
     lab = _labels_model(labels, row_offset)
-    bwd = _bwd_fused if use_fused_backward(*x.shape) else _bwd
+    bwd = _bwd_auto
     dx, dw = bwd(x, table, lab, logz, dnll, row_offset, num_valid)
     return dx, dw, None
 
@@ -504,7 +504,7 @@ def _fused_bias_bwd(row_offset, num_valid, res, g):
     dnll = (g * mask).astype(jnp.float32)
     lab = _labels_model(labels, row_offset)
     brow = bias.reshape(1, -1)
-    bwd = _bwd_fused if use_fused_backward(*x.shape) else _bwd
+    bwd = _bwd_auto
     dx, dw, db = bwd(
         x, table, lab, logz, dnll, row_offset, num_valid, bias=brow
     )
@@ -661,7 +661,7 @@ def _sharded_bwd_impl(row_offset, num_valid, model_axis, data_axis, res, gbar):
     brow = None
     if bias_full is not None:
         brow = _local_bias_row(bias_full, row_start, table_shard.shape[0])
-    bwd = _bwd_fused if use_fused_backward(n, d) else _bwd
+    bwd = _bwd_auto
     outs = bwd(
         x.reshape(n, d),
         table_shard,
@@ -872,6 +872,46 @@ def use_fused_backward(n: int, d: int, vmem_budget: int = 4 * 1024 * 1024) -> bo
     The budget is the scratch alone — the kernel's double-buffered x/w/dx/dw
     blocks need the rest of VMEM on top. 4 MiB (N=4096 at D=256) is the
     largest configuration verified to compile on v5e; 6 MiB (N=6144) dies in
-    the Mosaic compile, so past the budget the two-pass backward takes over.
+    the Mosaic compile, so past the budget :func:`_bwd_auto` runs the merged
+    kernel over row chunks instead.
     """
     return n * d * 4 <= vmem_budget
+
+
+def _bwd_auto(x, table, labels_model, logz, dnll, row_offset, num_valid,
+              row_start=None, bias=None, vmem_budget: int = 4 * 1024 * 1024):
+    """Shape-aware backward dispatch.
+
+    Merged single-pass kernel when the (N, D) f32 dx scratch fits VMEM;
+    past that, the merged kernel over static row CHUNKS — each chunk
+    recomputes scores only for its own rows, so the total stays ONE
+    s-recompute (the two-pass backward pays two: at B=512/N=5120 its
+    dw+dx passes measured 2.40+2.06 ms vs ~3.4 ms projected for two merged
+    chunks — KERNELS.md round 5). dw/db sum across chunks in the table
+    dtype (f32 params everywhere in practice; a bf16 table would take one
+    extra rounding per chunk). The two-pass kernels remain as the fallback
+    for degenerate shapes (chunk < one row tile).
+    """
+    n, d = x.shape
+    if use_fused_backward(n, d, vmem_budget):
+        return _bwd_fused(
+            x, table, labels_model, logz, dnll, row_offset, num_valid,
+            row_start=row_start, bias=bias,
+        )
+    chunk = (vmem_budget // (4 * d)) & ~7  # rows whose f32 scratch fits
+    if chunk < 8:
+        return _bwd(
+            x, table, labels_model, logz, dnll, row_offset, num_valid,
+            row_start=row_start, bias=bias,
+        )
+    dxs, acc = [], None
+    for i in range(0, n, chunk):
+        j = min(n, i + chunk)
+        outs = _bwd_fused(
+            x[i:j], table, labels_model[i:j], logz[i:j], dnll[i:j],
+            row_offset, num_valid, row_start=row_start, bias=bias,
+        )
+        dxs.append(outs[0])
+        rest = list(outs[1:])
+        acc = rest if acc is None else [a + b for a, b in zip(acc, rest)]
+    return (jnp.concatenate(dxs, axis=0), *acc)

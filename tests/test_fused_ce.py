@@ -71,6 +71,43 @@ def test_gradients_match_dense():
     np.testing.assert_array_equal(np.asarray(gt_f)[blinded], 0.0)
 
 
+def test_chunked_backward_matches_dense(monkeypatch):
+    """N past the merged backward's VMEM scratch budget: _bwd_auto must run
+    the merged kernel over row chunks (uneven last chunk included) and sum
+    dw/db exactly — the B=512 cliff fix (KERNELS.md round 5). Budget is
+    shrunk so the n=24 test shape splits into a 16-row and an 8-row chunk."""
+    from bert4clickpath_tpu.ops.pallas import fused_ce as F
+
+    x, table, labels = _case(n=24)
+    orig = F._bwd_auto
+    calls = {"n": 0}
+
+    def tiny_budget(*args, **kwargs):
+        calls["n"] += 1
+        kwargs["vmem_budget"] = 16 * 8 * 4  # -> 16-row chunks: 16 + uneven 8
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(F, "_bwd_auto", tiny_budget)
+
+    def fused_loss(x, t):
+        nll = fused_softmax_ce(x, t, labels, NUM_RESERVED_TOKENS, 40)
+        return jnp.sum(nll) / jnp.maximum(
+            jnp.sum((labels != LABEL_PAD).astype(jnp.float32)), 1.0
+        )
+
+    def dense_loss(x, t):
+        nll = _dense_nll(x, t, labels, 40)
+        return jnp.sum(nll) / jnp.maximum(
+            jnp.sum((labels != LABEL_PAD).astype(jnp.float32)), 1.0
+        )
+
+    (gx_f, gt_f) = jax.grad(fused_loss, argnums=(0, 1))(x, table)
+    (gx_d, gt_d) = jax.grad(dense_loss, argnums=(0, 1))(x, table)
+    assert calls["n"] == 1
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_d), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_d), rtol=1e-4, atol=1e-6)
+
+
 def test_wrapper_matches_masked_ce():
     x, table, labels = _case(n=24)
     xb = x.reshape(8, 3, -1)
