@@ -97,6 +97,11 @@ class ModelConfig:
     use_segment_embeddings: bool = False
     max_segments: int = 8
     dtype: str = "float32"  # computation dtype: "bfloat16" on TPU
+    # Residual/LayerNorm order: "post" = the reference's post-LN blocks
+    # (transformer.py:202-213); "pre" = pre-LN (normalize sublayer inputs,
+    # final LN after the stack) — unlocks depth: post-LN 6L collapses on
+    # Beauty under every measured LR (BASELINE.md round 4).
+    norm_style: str = "post"
     # name of the feature whose embedding the tied head shares
     item_feature: str = "items"
     # ALBERT-style factorized input: when > 0 and different from the sum of
@@ -119,6 +124,8 @@ class ModelConfig:
             raise ValueError("routing='segment' requires segment_bounds")
         if self.positional not in ("sinusoidal", "learned"):
             raise ValueError(f"unknown positional {self.positional!r}")
+        if self.norm_style not in ("post", "pre"):
+            raise ValueError(f"unknown norm_style {self.norm_style!r}")
 
     @property
     def d_model(self) -> int:

@@ -189,25 +189,38 @@ class EncoderLayer(nn.Module):
     attn_impl: str = "xla"
     dropout_impl: str = "xla"
     qkv_fused: bool = False
+    # "post" = reference residual order (transformer.py:202-213). "pre"
+    # normalizes the sublayer INPUT and keeps the residual stream un-normed
+    # (GPT-2/T5 style) — the standard fix for post-LN's depth instability:
+    # BASELINE.md round 4 measured 6L post-LN collapsing (~-45% NDCG) under
+    # every LR tried, the known post-LN gradient-amplification failure.
+    # Param tree is identical (ln1/ln2 reused) except the stack's ln_final.
+    norm_style: str = "post"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bias, deterministic: bool) -> jnp.ndarray:
-        attn = MultiHeadAttention(
+        ln = lambda name: nn.LayerNorm(  # noqa: E731
+            epsilon=1e-6, dtype=self.dtype, name=name
+        )
+        mha = MultiHeadAttention(
             self.d_model, self.num_heads, self.dtype, self.attn_impl,
             self.qkv_fused, name="mha",
-        )(x, bias)
-        attn = apply_dropout(
-            self, attn, self.dropout_rate, deterministic, self.dropout_impl
         )
+        ffn1 = nn.Dense(
+            self.ffn_dim, dtype=self.dtype, param_dtype=jnp.float32, name="ffn1"
+        )
+        ffn2 = nn.Dense(
+            self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name="ffn2"
+        )
+        drop = lambda t: apply_dropout(  # noqa: E731
+            self, t, self.dropout_rate, deterministic, self.dropout_impl
+        )
+        if self.norm_style == "pre":
+            x = x + drop(mha(ln("ln1")(x), bias))
+            return x + drop(ffn2(nn.relu(ffn1(ln("ln2")(x)))))
         # Post-LN residual, eps 1e-6 (reference transformer.py:183-184,202-213)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln1")(x + attn)
-        ffn = nn.Dense(self.ffn_dim, dtype=self.dtype, param_dtype=jnp.float32, name="ffn1")(x)
-        ffn = nn.relu(ffn)
-        ffn = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name="ffn2")(ffn)
-        ffn = apply_dropout(
-            self, ffn, self.dropout_rate, deterministic, self.dropout_impl
-        )
-        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln2")(x + ffn)
+        x = ln("ln1")(x + drop(mha(x, bias)))
+        return ln("ln2")(x + drop(ffn2(nn.relu(ffn1(x)))))
 
 
 class Encoder(nn.Module):
@@ -221,6 +234,7 @@ class Encoder(nn.Module):
     remat: bool = False
     dropout_impl: str = "xla"
     qkv_fused: bool = False
+    norm_style: str = "post"  # see EncoderLayer.norm_style
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bias, deterministic: bool) -> jnp.ndarray:
@@ -238,6 +252,11 @@ class Encoder(nn.Module):
                 self.attn_impl,
                 self.dropout_impl,
                 self.qkv_fused,
+                self.norm_style,
                 name=f"layer_{i}",
             )(x, bias, deterministic)
+        if self.norm_style == "pre":
+            # pre-LN leaves the residual stream un-normalized; one final LN
+            # feeds the head the same normalized scale post-LN produced
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_final")(x)
         return x

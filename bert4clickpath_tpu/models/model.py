@@ -93,6 +93,7 @@ class ClickstreamModel(nn.Module):
             remat=self.remat,
             dropout_impl=self.dropout_impl,
             qkv_fused=cfg.qkv_fused,
+            norm_style=cfg.norm_style,
             name="encoder",
         )
         head = cfg.head

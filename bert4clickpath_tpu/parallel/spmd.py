@@ -152,6 +152,7 @@ def _encoder_module(
         remat=remat,
         dropout_impl=dropout_impl,
         qkv_fused=config.qkv_fused,
+        norm_style=config.norm_style,
     )
 
 

@@ -104,6 +104,8 @@ class TPEncoderApply:
             x = self._layer(
                 params[f"layer_{i}"], x, bias, deterministic, rng, i
             )
+        if cfg.norm_style == "pre":
+            x = _ln(params["ln_final"], x, self.dtype)
         return x
 
     def _layer(self, p, x, bias, deterministic, rng, i):
@@ -111,10 +113,13 @@ class TPEncoderApply:
         mha = p["mha"]
         d_local = mha["wq"]["kernel"].shape[-1]
         local_heads = cfg.num_heads * d_local // cfg.d_model
+        pre = cfg.norm_style == "pre"
         # --- attention: column-parallel QKV (H/S heads per shard), row-
         # parallel wo. psum_bwd marks the replicated->sharded fan-out so the
         # input cotangent is reassembled over the model axis.
-        xin = psum_bwd(x, self.axis)
+        # pre-LN: LN the sublayer input (LN params replicated, math is
+        # per-token, so it runs identically on every shard), residual un-LN'd.
+        xin = psum_bwd(_ln(p["ln1"], x, dtype) if pre else x, self.axis)
         qf = _dense(mha["wq"], xin, dtype)
         kf = _dense(mha["wk"], xin, dtype)
         vf = _dense(mha["wv"], xin, dtype)
@@ -126,12 +131,13 @@ class TPEncoderApply:
         # accumulates the whole K dimension in f32 before the output cast.
         attn = self._row_parallel(attn, mha["wo"], dtype)
         attn = _dropout(attn, cfg.dropout_rate, deterministic, rng, 2 * i)
-        x = _ln(p["ln1"], x + attn, dtype)
+        x = x + attn if pre else _ln(p["ln1"], x + attn, dtype)
         # --- ffn: column-parallel ffn1 (+ sharded bias), row-parallel ffn2
-        h = nn.relu(_dense(p["ffn1"], psum_bwd(x, self.axis), dtype))
+        fin = psum_bwd(_ln(p["ln2"], x, dtype) if pre else x, self.axis)
+        h = nn.relu(_dense(p["ffn1"], fin, dtype))
         ffn = self._row_parallel(h, p["ffn2"], dtype)
         ffn = _dropout(ffn, cfg.dropout_rate, deterministic, rng, 2 * i + 1)
-        return _ln(p["ln2"], x + ffn, dtype)
+        return x + ffn if pre else _ln(p["ln2"], x + ffn, dtype)
 
     def _row_parallel(self, x, p, dtype):
         """Row-parallel Dense: f32-accumulated local partial, f32 all-reduce,

@@ -31,6 +31,21 @@ def enable(cache_dir: str | None = None) -> str | None:
         return None
     import jax
 
+    # TPU-tunnel cache only: XLA:CPU caches AOT machine code whose cache key
+    # does NOT include the host's CPU features, so an entry written in one
+    # container can be loaded on a different host CPU and SIGILL (observed as
+    # cpu_aot_loader "machine type doesn't match" errors when a fresh
+    # container reused this repo's cache). CPU compiles are fast and local —
+    # nothing to win, a crashed dryrun to lose.
+    # jax.config first: its default is seeded from JAX_PLATFORMS, and a
+    # jax.config.update("jax_platforms", "cpu") (the CPU-mesh test override)
+    # wins over the env var, which this image pins to "axon" globally.
+    plats = (
+        getattr(jax.config, "jax_platforms", "") or os.environ.get("JAX_PLATFORMS", "") or ""
+    )
+    if plats.split(",")[0].strip().lower() == "cpu":
+        return None
+
     path = cache_dir or _DEFAULT_DIR
     try:
         os.makedirs(path, exist_ok=True)

@@ -72,9 +72,15 @@ def build_model_config(preset: str, vocab, args) -> ModelConfig:
             dropout_rate=args.dropout,
             max_len=args.max_items + 3,
             positional="sinusoidal",
-            head=HeadConfig("softmax", (1024, 512, 256, 128), vocab.label_vocab_size),
+            head=HeadConfig(
+                "softmax",
+                tuple(int(x) for x in args.head_dims.split(",") if x)
+                or (1024, 512, 256, 128),
+                vocab.label_vocab_size,
+            ),
             dtype=args.dtype or ("bfloat16" if scaled else "float32"),
             qkv_fused=args.qkv_fused,
+            norm_style=args.norm_style,
         )
     if preset == "tpu":
         from bert4clickpath_tpu.parallel.spmd import padded_vocab_rows
@@ -106,6 +112,7 @@ def build_model_config(preset: str, vocab, args) -> ModelConfig:
             ),
             dtype=args.dtype or "bfloat16",
             qkv_fused=args.qkv_fused,
+            norm_style=args.norm_style,
         )
     raise ValueError(preset)
 
@@ -160,7 +167,15 @@ def main(argv=None):
     p.add_argument("--dropout", type=float, default=0.1)
     p.add_argument(
         "--head_dims", default="",
-        help="tpu preset: comma dims for the tied-head transform (BERT-MLM style)",
+        help="comma dims for the head MLP: the tied-head transform (tpu "
+        "preset, BERT-MLM style) or the parity softmax head's dense stack "
+        "(default 1024,512,256,128 — the reference's source/main.py:262)",
+    )
+    p.add_argument(
+        "--norm_style", default="post", choices=["post", "pre"],
+        help="residual/LayerNorm order: post = reference blocks "
+        "(transformer.py:202-213); pre = pre-LN (+ final LN) — the depth-"
+        "stability variant (post-LN 6L collapses on Beauty, BASELINE.md)",
     )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
