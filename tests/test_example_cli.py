@@ -10,6 +10,8 @@ import pytest
 @pytest.mark.parametrize("preset,extra", [
     ("tpu", ["--d_model", "32", "--layers", "1", "--heads", "2"]),
     ("parity", []),
+    # pre-LN blocks + custom softmax-head dims through the full driver
+    ("parity", ["--norm_style", "pre", "--head_dims", "64,32"]),
 ])
 def test_train_cli_simulated(tmp_path, preset, extra):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
