@@ -859,11 +859,9 @@ def _bwd_fused(x, table, labels_model, logz, dnll, row_offset, num_valid,
         scratch_shapes=[pltpu.VMEM((n, d), jnp.float32)],
         interpret=_interpret(),
     )(*operands)
-    if has_bias:
-        dx, dw, db = outs
-        return dx, dw.astype(table.dtype), db
-    dx, dw = outs
-    return dx, dw.astype(table.dtype)
+    # dw stays f32 here; _bwd_auto (the only caller) casts to the table
+    # dtype once — after summing chunks, so a bf16 table rounds once total
+    return outs
 
 
 def use_fused_backward(n: int, d: int, vmem_budget: int = 4 * 1024 * 1024) -> bool:
@@ -878,6 +876,20 @@ def use_fused_backward(n: int, d: int, vmem_budget: int = 4 * 1024 * 1024) -> bo
     return n * d * 4 <= vmem_budget
 
 
+def _bwd_chunk_rows(d: int, vmem_budget: int) -> int:
+    """Rows per chunk whose (chunk, D) f32 scratch fits the VMEM budget,
+    rounded down to a multiple of the largest ``_row_tile`` candidate it can
+    hold: an 8-aligned-only chunk (e.g. 2728 at d=384) would fall through
+    every tile size to 8-row MXU blocks and run far slower than the two-pass
+    backward it replaces. Only the ragged last chunk may tile below the
+    chosen candidate."""
+    chunk = vmem_budget // (4 * d)
+    for t in (512, 256, 128, 64, 32, 16, 8):
+        if chunk >= t:
+            return chunk - chunk % t
+    return chunk
+
+
 def _bwd_auto(x, table, labels_model, logz, dnll, row_offset, num_valid,
               row_start=None, bias=None, vmem_budget: int = 4 * 1024 * 1024):
     """Shape-aware backward dispatch.
@@ -887,18 +899,19 @@ def _bwd_auto(x, table, labels_model, logz, dnll, row_offset, num_valid,
     recomputes scores only for its own rows, so the total stays ONE
     s-recompute (the two-pass backward pays two: at B=512/N=5120 its
     dw+dx passes measured 2.40+2.06 ms vs ~3.4 ms projected for two merged
-    chunks — KERNELS.md round 5). dw/db sum across chunks in the table
-    dtype (f32 params everywhere in practice; a bf16 table would take one
-    extra rounding per chunk). The two-pass kernels remain as the fallback
-    for degenerate shapes (chunk < one row tile).
+    chunks — KERNELS.md round 5). dw/db sum across chunks in f32 and round
+    to the table dtype once at the end, matching the single-call kernel's
+    numerics. The two-pass kernels remain as the fallback for degenerate
+    shapes (chunk < one row tile).
     """
     n, d = x.shape
     if use_fused_backward(n, d, vmem_budget):
-        return _bwd_fused(
+        outs = _bwd_fused(
             x, table, labels_model, logz, dnll, row_offset, num_valid,
             row_start=row_start, bias=bias,
         )
-    chunk = (vmem_budget // (4 * d)) & ~7  # rows whose f32 scratch fits
+        return (outs[0], outs[1].astype(table.dtype), *outs[2:])
+    chunk = _bwd_chunk_rows(d, vmem_budget)
     if chunk < 8:
         return _bwd(
             x, table, labels_model, logz, dnll, row_offset, num_valid,
@@ -912,6 +925,9 @@ def _bwd_auto(x, table, labels_model, logz, dnll, row_offset, num_valid,
             row_offset, num_valid, row_start=row_start, bias=bias,
         )
         dxs.append(outs[0])
+        # dw/db arrive in f32 from _bwd_fused: sum across chunks in f32 so a
+        # bf16 table rounds once at the end, not once per chunk
         rest = list(outs[1:])
         acc = rest if acc is None else [a + b for a, b in zip(acc, rest)]
+    acc[0] = acc[0].astype(table.dtype)
     return (jnp.concatenate(dxs, axis=0), *acc)

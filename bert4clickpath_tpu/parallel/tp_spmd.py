@@ -30,7 +30,8 @@ Sharding layout (S = model-axis size):
   projection runs the sharded fused CE.
 
 All dropout sites in this encoder are on *replicated* tensors (dropout is
-applied after the wo/ffn2 all-reduce — encoder.py:187,195), so the step's
+applied after the wo/ffn2 all-reduce — EncoderLayer's ``drop(...)`` wraps
+each sublayer OUTPUT, both norm styles), so the step's
 data-only rng folding keeps model shards bitwise identical, preserving the
 replication invariant.
 

@@ -55,4 +55,42 @@ def enable(cache_dir: str | None = None) -> str | None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
         return None
+    _block_cpu_backend()
     return path
+
+
+_guard_installed = False
+
+
+def _block_cpu_backend() -> None:
+    """Refuse the persistent cache per-compile when the EFFECTIVE backend is
+    CPU, whatever the configured platform string said.
+
+    The string check above runs before backend init (it must not block on a
+    dead tunnel), so it cannot see an implicit axon->cpu fallback: with
+    jax_platforms defaulting to "axon,cpu", a process whose tunnel is down
+    silently resolves to CPU and would write host-specific AOT entries into
+    the shared dir. jax gates both cache read and write on
+    ``compilation_cache.is_cache_used(backend)`` (compiler.py:_get_cache_key
+    returns None without it), and that hook receives the actual backend at
+    each compile — wrap it so cpu backends never touch the cache. Best
+    effort: if jax's internals move, the pre-init string check still covers
+    every explicit-CPU session.
+    """
+    global _guard_installed
+    if _guard_installed:
+        return
+    try:
+        from jax._src import compilation_cache as _cc
+
+        _orig = _cc.is_cache_used
+
+        def _is_cache_used_tpu_only(backend):
+            if getattr(backend, "platform", None) == "cpu":
+                return False
+            return _orig(backend)
+
+        _cc.is_cache_used = _is_cache_used_tpu_only
+        _guard_installed = True
+    except Exception:  # noqa: BLE001 — guard is defensive, never fatal
+        pass

@@ -30,6 +30,21 @@ def test_enable_skips_cpu_via_jax_config(tmp_path, monkeypatch):
     assert compile_cache.enable(str(tmp_path / "cache")) is None
 
 
+def test_cpu_backend_blocked_per_compile():
+    # the string check runs pre-init and cannot see an implicit axon->cpu
+    # fallback; the per-compile guard sees the ACTUAL backend and must
+    # refuse cpu whatever the configured platform string said
+    from jax._src import compilation_cache as cc
+
+    compile_cache._block_cpu_backend()
+    compile_cache._block_cpu_backend()  # idempotent: no double-wrap
+
+    class _Cpu:
+        platform = "cpu"
+
+    assert cc.is_cache_used(_Cpu()) is False
+
+
 def test_config_override_beats_env(tmp_path, monkeypatch):
     # the real dryrun/test scenario: the image pins JAX_PLATFORMS=axon
     # globally, but the process switched to CPU via jax.config.update —

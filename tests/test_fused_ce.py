@@ -108,6 +108,53 @@ def test_chunked_backward_matches_dense(monkeypatch):
     np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_d), rtol=1e-4, atol=1e-6)
 
 
+def test_bwd_chunk_rows_keeps_mxu_tiles():
+    """The chunk size must stay a multiple of the largest _row_tile candidate
+    it can hold — an 8-aligned-only chunk (2728 at d=384) would degrade every
+    chunk to 8-row MXU blocks."""
+    from bert4clickpath_tpu.ops.pallas.fused_ce import _bwd_chunk_rows, _row_tile
+
+    B = 4 * 1024 * 1024
+    assert _bwd_chunk_rows(256, B) == 4096 and _row_tile(4096) == 512
+    assert _bwd_chunk_rows(384, B) == 2560 and _row_tile(2560) == 512
+    assert _bwd_chunk_rows(2048, B) == 512
+    assert _bwd_chunk_rows(4096, B) == 256  # below 512: largest fitting tile
+    assert _bwd_chunk_rows(8, 16 * 8 * 4) == 16  # the tiny-budget test shape
+    assert _bwd_chunk_rows(8, 7 * 8 * 4) < 8  # degenerate -> two-pass path
+
+
+def test_chunked_backward_bf16_accumulates_in_f32(monkeypatch):
+    """Chunked dw must round to the bf16 table dtype ONCE (like the single
+    merged kernel), not once per chunk: summing in f32 keeps the chunked and
+    unchunked paths' gradients close."""
+    from bert4clickpath_tpu.ops.pallas import fused_ce as F
+
+    x, table, labels = _case(n=24)
+    x, table = x.astype(jnp.bfloat16), table.astype(jnp.bfloat16)
+
+    def grads(budget):
+        orig = F._bwd_auto
+
+        def with_budget(*args, **kwargs):
+            kwargs["vmem_budget"] = budget
+            return orig(*args, **kwargs)
+
+        monkeypatch.setattr(F, "_bwd_auto", with_budget)
+
+        def loss(t):
+            nll = fused_softmax_ce(x, t, labels, NUM_RESERVED_TOKENS, 40)
+            return jnp.sum(nll)
+
+        g = jax.grad(loss)(table)
+        monkeypatch.setattr(F, "_bwd_auto", orig)
+        assert g.dtype == jnp.bfloat16
+        return np.asarray(g, np.float32)
+
+    g_one = grads(24 * 8 * 4)  # single merged call
+    g_chunked = grads(8 * 8 * 4)  # three 8-row chunks
+    np.testing.assert_allclose(g_chunked, g_one, rtol=1e-2, atol=1e-3)
+
+
 def test_wrapper_matches_masked_ce():
     x, table, labels = _case(n=24)
     xb = x.reshape(8, 3, -1)
