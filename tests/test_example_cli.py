@@ -61,6 +61,25 @@ def test_task_driver_cli(tmp_path, script, extra):
     assert (tmp_path / "run" / "history.jsonl").exists()
 
 
+def test_bench_tiny_cpu_sanity():
+    """bench.py --tiny is the outage path's CPU-sanity probe (a dead tunnel
+    must still yield one parseable JSON line with a working-train proof) —
+    pin that it runs and emits the expected record."""
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py"), "--tiny"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "cpu_tiny_train_examples_per_s"
+    assert rec["value"] > 0
+    assert rec["final_loss"] > 0
+
+
 def test_long_context_bench_cli():
     """Long-context bench runs both attention impls and agrees on the loss
     (VERDICT r1 weak item 7: the blockwise kernels' target config)."""
