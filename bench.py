@@ -80,6 +80,11 @@ def _probe_once(timeout_s: int):
         import numpy as np
 
         jax.devices()
+        # an implicitly-registered tunnel backend can fail init QUIETLY and
+        # fall back to CPU — that must read as "tpu unavailable", not as a
+        # passed probe (the headline metric is per-TPU-chip)
+        if jax.default_backend() == "cpu":
+            return False, "backend resolved to cpu (tunnel init fell back?)"
         y = (jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum()
         float(np.asarray(y))
         return True, None
@@ -106,13 +111,14 @@ def _probe_backend(timeouts=(300, 480, 600)):
     tunnel took 194 s for the first tiny-matmul fetch.
     """
     err = None
+    t0 = time.perf_counter()
     for i, t in enumerate(timeouts):
         ok, err = _probe_once(t)
         if ok:
-            return True, None
+            return True, None, time.perf_counter() - t0
         if i + 1 < len(timeouts):
             time.sleep(60)
-    return False, err
+    return False, err, time.perf_counter() - t0
 
 
 def _cpu_sanity() -> dict:
@@ -135,36 +141,56 @@ def _cpu_sanity() -> dict:
         return {"cpu_sanity": None, "cpu_sanity_error": f"{type(e).__name__}: {e}"}
 
 
-def _start_watchdog(total_s: int = 900):
-    """Guarantee ONE parseable JSON line even if the tunnel hangs mid-bench
-    (after a successful probe): a daemon timer that prints the skipped
-    record and exits 0 before any driver-side timeout turns the run into an
-    unparseable rc=124. Armed only around the bench body — the probe and the
-    CPU-sanity subprocess are already bounded (SIGALRM / subprocess timeout).
-    Cancel it right before printing the real result."""
+def _start_watchdog(total_s: float):
+    """Guarantee exactly ONE parseable JSON line even if the tunnel hangs
+    mid-bench (after a successful probe): a daemon timer that prints the
+    skipped record and exits 0 before any driver-side timeout turns the run
+    into an unparseable rc=124. Armed only around the bench body — the probe
+    and the CPU-sanity subprocess are already bounded (SIGALRM / subprocess
+    timeout). Returns a ``finish(record)`` closure the main thread MUST use
+    for its own final print: a lock + done-flag serializes it against the
+    timer so a run finishing near the deadline cannot emit two lines or a
+    truncated one.
+    """
     import threading
 
+    lock = threading.Lock()
+    done = [False]
+
     def _fire():
-        print(json.dumps({
-            "metric": "train_examples_per_s_per_chip_beauty_4L256d",
-            "value": 0.0,
-            "unit": "examples/s",
-            "vs_baseline": 0.0,
-            "skipped": "tpu-hang-mid-bench",
-            "error": f"watchdog fired after {total_s}s",
-        }), flush=True)
+        with lock:
+            if done[0]:
+                return
+            done[0] = True
+            print(json.dumps({
+                "metric": "train_examples_per_s_per_chip_beauty_4L256d",
+                "value": 0.0,
+                "unit": "examples/s",
+                "vs_baseline": 0.0,
+                "skipped": "tpu-hang-mid-bench",
+                "error": f"watchdog fired after {round(total_s)}s",
+            }), flush=True)
         os._exit(0)
 
     t = threading.Timer(total_s, _fire)
     t.daemon = True
     t.start()
-    return t
+
+    def finish(record: dict):
+        t.cancel()
+        with lock:
+            if done[0]:  # watchdog won the race and is os._exit-ing
+                return
+            done[0] = True
+            print(json.dumps(record), flush=True)
+
+    return finish
 
 
 def main():
-    watchdog = None
+    finish = None
     if not TINY:
-        ok, err = _probe_backend()
+        ok, err, probe_s = _probe_backend()
         if not ok:
             rec = {
                 "metric": "train_examples_per_s_per_chip_beauty_4L256d",
@@ -177,7 +203,11 @@ def main():
             rec.update(_cpu_sanity())
             print(json.dumps(rec))
             return
-        watchdog = _start_watchdog()
+        # Budget scales with observed congestion: a probe that needed
+        # retries predicts slow first executions for the (much larger)
+        # bench programs too — a flat 900 s would kill a healthy-but-
+        # congested run and publish a false 0.0.
+        finish = _start_watchdog(900 + 2 * probe_s)
 
     from bert4clickpath_tpu.parallel.spmd import padded_vocab_rows
 
@@ -263,8 +293,6 @@ def main():
         dt = time.perf_counter() - t0
 
     examples_per_s = batch * steps / dt
-    if watchdog is not None:
-        watchdog.cancel()
     if TINY:
         print(
             json.dumps(
@@ -277,15 +305,13 @@ def main():
             )
         )
         return
-    print(
-        json.dumps(
-            {
-                "metric": "train_examples_per_s_per_chip_beauty_4L256d",
-                "value": round(examples_per_s, 1),
-                "unit": "examples/s",
-                "vs_baseline": round(examples_per_s / BASELINE_EXAMPLES_PER_S, 3),
-            }
-        )
+    finish(  # serialized against the watchdog: exactly one JSON line
+        {
+            "metric": "train_examples_per_s_per_chip_beauty_4L256d",
+            "value": round(examples_per_s, 1),
+            "unit": "examples/s",
+            "vs_baseline": round(examples_per_s / BASELINE_EXAMPLES_PER_S, 3),
+        }
     )
 
 
