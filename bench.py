@@ -96,7 +96,8 @@ def _probe_once(timeout_s: int):
 
 
 def _probe_backend(timeouts=(300, 480, 600)):
-    """Return (ok, err) after up to ``len(timeouts)`` attempts.
+    """Return (ok, err, elapsed_s) after up to ``len(timeouts)`` attempts;
+    ``elapsed_s`` (total probe wall time) sizes the bench-body watchdog.
 
     Why retries: two distinct tunnel pathologies were measured. (a) A
     congested tunnel takes ~400 s for the first *execution* of a new program
