@@ -199,6 +199,10 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 50  # steps
     remat: bool = False  # jax.checkpoint the encoder layers
+    # Retain at most N best-so-far checkpoints under model_dir/ckpts
+    # (0 = keep all, the reference's timestamped-ModelCheckpoint
+    # accumulation, source/main.py:137-142 — ~10 GB per Beauty run).
+    ckpt_keep: int = 0
     # EMA of params for eval/export (0 disables). Polyak averaging is a
     # standard production-recsys quality lever the reference lacks; the
     # shadow is updated in the train step and ranked/exported instead of

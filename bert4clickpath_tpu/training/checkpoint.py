@@ -36,22 +36,57 @@ def _ckptr() -> ocp.StandardCheckpointer:
     return _CHECKPOINTER
 
 
-def save_checkpoint(directory: str, state: Any, step: int, block: bool = True) -> str:
+def save_checkpoint(
+    directory: str, state: Any, step: int, block: bool = True,
+    keep: Optional[int] = None,
+) -> str:
     """Save a full TrainState under ``directory/step_<N>``.
 
     Orbax commits asynchronously; ``block=False`` overlaps the write with the
     next training epoch (the orbax async-checkpoint pattern), ``block=True``
     waits for the atomic rename.
+
+    keep: retain at most this many checkpoints in ``directory`` INCLUDING
+    the one being saved (None/0 = keep everything — the reference's
+    timestamped ``ModelCheckpoint`` accumulation, source/main.py:137-142,
+    which ran to ~10 GB per Beauty run). Pruning happens after the
+    previous async save's commit (the wait below), so only committed
+    ``step_*`` dirs are ever deleted.
     """
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"step_{step:08d}")
     c = _ckptr()
     c.wait_until_finished()  # at most one async save in flight
+    if keep:
+        prune_checkpoints(directory, max(keep - 1, 0))
     c.save(path, state, force=True)
     if block:
         c.wait_until_finished()
     return path
+
+
+def prune_checkpoints(directory: str, keep: int) -> list[str]:
+    """Delete the oldest committed ``step_*`` checkpoints, keeping the
+    newest ``keep``. Orbax writes to a tmp-suffixed dir and renames on
+    commit, so the ``step_<N>`` fullmatch only ever selects committed
+    checkpoints. Returns the removed paths."""
+    import shutil
+
+    directory = os.path.abspath(directory)
+    if not os.path.isdir(directory):
+        return []
+    steps = sorted(
+        (int(m.group(1)), name)
+        for name in os.listdir(directory)
+        if (m := re.fullmatch(r"step_(\d+)", name))
+    )
+    removed = []
+    for _, name in steps[: max(len(steps) - keep, 0)]:
+        p = os.path.join(directory, name)
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(p)
+    return removed
 
 
 def wait_until_finished() -> None:

@@ -248,6 +248,7 @@ class Trainer:
                         jax.device_get(state),
                         int(np.asarray(state.step)),
                         block=False,
+                        keep=cfg.ckpt_keep,
                     )
                 if self.export_fn is not None and self.is_host0:
                     self.export_fn(jax.device_get(eval_params(state)))

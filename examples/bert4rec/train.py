@@ -249,6 +249,12 @@ def main(argv=None):
     )
     p.add_argument("--patience", type=int, default=30)
     p.add_argument("--plateau_patience", type=int, default=10)
+    p.add_argument(
+        "--ckpt_keep", type=int, default=0,
+        help="retain at most N best-so-far checkpoints (0 = keep all, the "
+        "reference's timestamped-ModelCheckpoint accumulation — ~10 GB per "
+        "Beauty run)",
+    )
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument(
         "--wd_tables", action="store_true",
@@ -317,6 +323,7 @@ def main(argv=None):
         plateau_patience=args.plateau_patience,
         eval_every=args.eval_every,
         eval_batch_size=args.eval_batch,
+        ckpt_keep=args.ckpt_keep,
     )
 
     model = ClickstreamModel(cfg, attn_impl=args.attn_impl)

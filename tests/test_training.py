@@ -216,6 +216,35 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+def test_checkpoint_keep_prunes_oldest(tmp_path):
+    """keep=N retains the N newest best-so-far checkpoints (0 = reference
+    accumulation); restore from the survivor still round-trips."""
+    ds, vocab, cfg, model = _setup()
+    b0 = _to_device(next(ds.train_batches(8, seed=0)))
+    params = model.init({"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"])
+    tx = make_optimizer(TrainConfig())
+    state = TrainState.create(params, tx)
+    d = str(tmp_path / "ckpts")
+    host = jax.device_get(state)
+    for step in (7, 14, 21, 28):
+        ckpt_lib.save_checkpoint(d, host, step, keep=2)
+    ckpt_lib.wait_until_finished()
+    names = sorted(n for n in os.listdir(d) if n.startswith("step_"))
+    assert names == ["step_00000021", "step_00000028"], names
+    latest = ckpt_lib.latest_checkpoint(d)
+    assert latest.endswith("step_00000028")
+    restored = ckpt_lib.restore_state(latest, state)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        host,
+        restored,
+    )
+    # keep=0/None keeps everything (reference parity)
+    ckpt_lib.save_checkpoint(d, host, 35)
+    ckpt_lib.wait_until_finished()
+    assert len([n for n in os.listdir(d) if n.startswith("step_")]) == 3
+
+
 def test_transfer_learning_encoder_swap_head(tmp_path):
     """Pretrain with tied softmax -> fine-tune a binary head on the same
     encoder (reference fine-tune path, source/main.py:100-120)."""
