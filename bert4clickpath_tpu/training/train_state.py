@@ -338,6 +338,7 @@ def make_eval_step(
     axis_name: Optional[str] = None,
     chunked_num_valid: Optional[int] = None,
     raw: bool = False,
+    steps_per_call: int = 1,
 ):
     """Returns jitted ``(params, batch) -> (loss_sum_stats, metric_stats)``.
 
@@ -348,6 +349,12 @@ def make_eval_step(
     full-catalog scan (ops/chunked_eval.py) instead of dense logits — pass
     the raw label vocab size V. Required at very large catalogs; also
     avoids the (B, P, V) f32 eval tensor at Beauty scale.
+
+    steps_per_call > 1: the step takes a STACKED (K, B, ...) batch,
+    lax.scans the per-batch step over the leading axis and returns the
+    summed stats — one dispatch (and one transfer) per K eval batches, the
+    same RPC-amortization lever as make_scan_train_step. Stats are sums, so
+    the result is identical to K separate calls merged on device.
     """
     head_kind = model.config.head.kind
     loss_fn = loss_fn or loss_for_head(head_kind)
@@ -391,7 +398,7 @@ def make_eval_step(
                 bias=bias,
             )
 
-        return chunked_step if raw else jax.jit(chunked_step)
+        return _wrap_eval(chunked_step, steps_per_call, raw)
 
     def step(params, batch):
         logits = model.apply(
@@ -420,6 +427,21 @@ def make_eval_step(
             stats.update(bstats)
         return stats
 
-    if raw:
-        return step
-    return jax.jit(step)
+    return _wrap_eval(step, steps_per_call, raw)
+
+
+def _wrap_eval(step, steps_per_call: int, raw: bool):
+    """Optionally scan ``step`` over a stacked (K, B, ...) batch, summing
+    the per-batch stat sums on device; then jit unless ``raw``."""
+    fn = step
+    if steps_per_call > 1:
+
+        def scan_eval(params, stacked):
+            def body(carry, b):
+                return carry, step(params, b)
+
+            _, stats = jax.lax.scan(body, None, stacked)
+            return jax.tree.map(lambda x: jnp.sum(x, axis=0), stats)
+
+        fn = scan_eval
+    return fn if raw else jax.jit(fn)

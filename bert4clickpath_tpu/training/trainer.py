@@ -49,6 +49,7 @@ class Trainer:
         prefetch: int = 2,
         steps_per_call: int = 1,
         stack_batches: Optional[Callable] = None,
+        eval_steps_per_call: int = 1,
     ):
         """
         train_step: (state, batch, rng) -> (state, loss)
@@ -62,6 +63,10 @@ class Trainer:
         every host↔device interaction is an RPC. steps_per_epoch must be a
         multiple of steps_per_call (a ragged tail chunk would recompile).
         eval_step: (params, batch) -> stats dict of sums
+        eval_steps_per_call > 1 feeds ``eval_step`` STACKED (K, B, ...)
+        chunks (``eval_step`` must then be a scanned step,
+        make_eval_step(steps_per_call=K)); the last chunk of a pass may be
+        smaller, costing one extra compile that is cached across epochs.
         to_device: ClozeBatch -> the batch dict the steps expect (handles
             device_put / sharding in the pjit case)
         export_fn: params -> None, called when val_loss improves
@@ -84,6 +89,9 @@ class Trainer:
         self.prefetch = prefetch
         self.steps_per_call = max(1, steps_per_call)
         self.stack_batches = stack_batches
+        self.eval_steps_per_call = max(1, eval_steps_per_call)
+        if self.eval_steps_per_call > 1 and stack_batches is None:
+            raise ValueError("eval_steps_per_call > 1 requires stack_batches")
         if self.steps_per_call > 1:
             if stack_batches is None:
                 raise ValueError("steps_per_call > 1 requires stack_batches")
@@ -120,9 +128,23 @@ class Trainer:
             self._tb.flush()
 
     # -- evaluation -------------------------------------------------------
+    def _stacked_chunks(self, batches: Iterator) -> Iterator:
+        """Group host batches into stacks of eval_steps_per_call (smaller
+        final chunk included) for the scanned eval step."""
+        buf = []
+        for b in batches:
+            buf.append(b)
+            if len(buf) == self.eval_steps_per_call:
+                yield self.stack_batches(buf)
+                buf = []
+        if buf:
+            yield self.stack_batches(buf)
+
     def evaluate(self, params, eval_batches: Iterator) -> dict[str, float]:
         from bert4clickpath_tpu.data.pipeline import prefetch_to_device
 
+        if self.eval_steps_per_call > 1:
+            eval_batches = self._stacked_chunks(eval_batches)
         if self.prefetch:
             eval_batches = prefetch_to_device(
                 eval_batches, self.to_device, depth=self.prefetch

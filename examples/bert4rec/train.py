@@ -250,6 +250,14 @@ def main(argv=None):
     p.add_argument("--patience", type=int, default=30)
     p.add_argument("--plateau_patience", type=int, default=10)
     p.add_argument(
+        "--eval_steps_per_call", type=int, default=1,
+        help="eval batches per device dispatch (scanned eval, single-chip "
+        "path only). Measured on chip: NO steady-state win at Beauty scale "
+        "(K=16: 1.21-1.23 s/eval vs 1.18-1.20 per-batch) — evaluate() only "
+        "fetches once per pass, so per-batch dispatches already pipeline; "
+        "kept for many-tiny-batch eval sets where dispatch count dominates",
+    )
+    p.add_argument(
         "--ckpt_keep", type=int, default=0,
         help="retain at most N best-so-far checkpoints (0 = keep all, the "
         "reference's timestamped-ModelCheckpoint accumulation — ~10 GB per "
@@ -405,7 +413,10 @@ def main(argv=None):
             f"--steps_per_call {spc} does not divide steps_per_epoch "
             f"{steps_per_epoch}"
         )
-    if spc > 1:
+    espc = max(1, args.eval_steps_per_call)
+    if use_dp:
+        espc = 1  # DP eval shards per-batch; scanned eval is single-chip
+    if spc > 1 or espc > 1:
         from bert4clickpath_tpu.data.cloze import stack_batches as _stack
 
         stack_batches = _stack
@@ -474,7 +485,10 @@ def main(argv=None):
             # tied heads (and --fused_head MLP heads) evaluate via the
             # chunked blinded catalog scan
             chunked_num_valid=fused_num_valid,
+            steps_per_call=espc,
         )
+        if espc > 1:
+            print(f"scan eval step: {espc} batches/dispatch", flush=True)
 
     def export_fn(best_params):
         ckpt_lib.export_serving(
@@ -491,6 +505,7 @@ def main(argv=None):
         lr_fn=schedule,
         steps_per_call=spc,
         stack_batches=stack_batches,
+        eval_steps_per_call=espc,
     )
     eval_limit = args.eval_batches or None
     eval_bs = args.eval_batch or args.batch

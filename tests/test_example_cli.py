@@ -8,7 +8,10 @@ import pytest
 
 
 @pytest.mark.parametrize("preset,extra", [
-    ("tpu", ["--d_model", "32", "--layers", "1", "--heads", "2"]),
+    # scanned eval (2 batches/dispatch incl. a ragged tail) through the
+    # full driver — CPU auto would pick 1, so force it
+    ("tpu", ["--d_model", "32", "--layers", "1", "--heads", "2",
+             "--eval_steps_per_call", "2"]),
     ("parity", []),
     # pre-LN blocks + custom softmax-head dims through the full driver
     ("parity", ["--norm_style", "pre", "--head_dims", "64,32"]),

@@ -341,6 +341,41 @@ def test_chunked_eval_step_matches_dense():
     )
 
 
+def test_scanned_eval_matches_per_batch():
+    """make_eval_step(steps_per_call=K) over stacked chunks (ragged tail
+    included) == per-batch eval merged: stats are sums, so scanning only
+    changes dispatch count, never the numbers."""
+    from bert4clickpath_tpu.data.cloze import stack_batches
+    from bert4clickpath_tpu.training.train_state import make_eval_step as mes
+
+    ds, vocab, cfg, model = _setup("tied_softmax")
+    b0 = _to_device(next(ds.train_batches(8, seed=0)))
+    params = model.init({"params": jax.random.PRNGKey(0)}, b0["features"], b0["head_positions"])
+    host = []
+    for i, b in enumerate(ds.eval_batches(8)):
+        host.append(b)
+        if i == 4:
+            break
+    assert len(host) == 5
+
+    single = mes(model, chunked_num_valid=vocab.label_vocab_size)
+    want = None
+    for b in host:
+        s = {k: np.asarray(v) for k, v in single(params, _to_device(b)).items()}
+        want = s if want is None else {k: want[k] + v for k, v in s.items()}
+
+    scanned = mes(model, chunked_num_valid=vocab.label_vocab_size, steps_per_call=3)
+    got = None
+    for chunk in (host[:3], host[3:]):  # full chunk + ragged tail of 2
+        s = scanned(params, _to_device(stack_batches(chunk)))
+        s = {k: np.asarray(v) for k, v in s.items()}
+        got = s if got is None else {k: got[k] + v for k, v in s.items()}
+
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5, err_msg=k)
+
+
 def test_serving_warmup_precompiles_buckets(tmp_path):
     ds, vocab, cfg, model = _setup("tied_softmax")
     b0 = _to_device(next(ds.train_batches(8, seed=0)))
